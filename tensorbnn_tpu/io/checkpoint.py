@@ -1,0 +1,99 @@
+"""Native checkpoint store: stacked-sample pytrees + full sampler resume.
+
+The reference persists only posterior samples as text files and cannot
+resume a chain mid-run (its RNG, step size, leapfrog count and adapter state
+are never saved — SURVEY.md #5). This store keeps:
+
+* ``samples.npz``  — posterior sample stacks (one array per pytree leaf,
+  leading axis = sample), written with numpy's compressed container;
+* ``resume.npz`` + ``resume.json`` — the full device carry (flat theta/eta,
+  PRNG key data, dual-averaging state, epoch counter) plus host state
+  (adapter, step size, leapfrog, epoch bookkeeping), enabling bit-exact
+  continuation of an interrupted run.
+
+Pytree leaves are keyed by ``layer{i}/{name}`` paths so files are
+self-describing and stable across python versions.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+
+def _flatten_tree(params: tuple, prefix: str) -> Dict[str, np.ndarray]:
+    out = {}
+    for i, layer_params in enumerate(params):
+        for k, v in layer_params.items():
+            out[f"{prefix}{i}/{k}"] = np.asarray(v)
+    return out
+
+
+def _unflatten_tree(arrays: Dict[str, np.ndarray], prefix: str) -> tuple:
+    by_layer: Dict[int, Dict[str, np.ndarray]] = {}
+    max_idx = -1
+    for key, v in arrays.items():
+        if not key.startswith(prefix):
+            continue
+        rest = key[len(prefix):]
+        idx_str, name = rest.split("/", 1)
+        idx = int(idx_str)
+        by_layer.setdefault(idx, {})[name] = v
+        max_idx = max(max_idx, idx)
+    return tuple(by_layer.get(i, {}) for i in range(max_idx + 1))
+
+
+def save_samples(path: str, param_samples: tuple, hyper_samples: tuple,
+                 lik_hyper_samples: dict) -> str:
+    """Writes stacked posterior samples to ``<path>/samples.npz``."""
+    os.makedirs(path, exist_ok=True)
+    arrays = _flatten_tree(param_samples, "params/")
+    arrays.update(_flatten_tree(hyper_samples, "hypers/"))
+    for k, v in lik_hyper_samples.items():
+        arrays[f"lik/{k}"] = np.asarray(v)
+    arrays["__n_layers__"] = np.asarray(len(param_samples))
+    fname = os.path.join(path, "samples.npz")
+    np.savez_compressed(fname, **arrays)
+    return fname
+
+
+def load_samples(path: str) -> Tuple[tuple, tuple, dict]:
+    """Loads ``(param_samples, hyper_samples, lik_hyper_samples)``."""
+    with np.load(os.path.join(path, "samples.npz")) as data:
+        arrays = {k: data[k] for k in data.files}
+    n_layers = int(arrays.pop("__n_layers__"))
+    params = _unflatten_tree(arrays, "params/")
+    hypers = _unflatten_tree(arrays, "hypers/")
+    # pad to full layer count (stateless layers have no leaves)
+    params = tuple((params[i] if i < len(params) else {})
+                   for i in range(n_layers))
+    hypers = tuple((hypers[i] if i < len(hypers) else {})
+                   for i in range(n_layers))
+    lik = {k.split("/", 1)[1]: v for k, v in arrays.items()
+           if k.startswith("lik/")}
+    return params, hypers, lik
+
+
+def save_resume(path: str, *, carry_arrays: Dict[str, np.ndarray],
+                host_state: dict) -> None:
+    """Saves the device carry plus host-side JSON state for resume."""
+    os.makedirs(path, exist_ok=True)
+    np.savez(os.path.join(path, "resume.npz"), **carry_arrays)
+    with open(os.path.join(path, "resume.json"), "w") as f:
+        json.dump(host_state, f)
+
+
+def load_resume(path: str) -> Optional[Tuple[Dict[str, np.ndarray], dict]]:
+    """Returns ``(carry_arrays, host_state)`` or None if absent."""
+    npz = os.path.join(path, "resume.npz")
+    js = os.path.join(path, "resume.json")
+    if not (os.path.exists(npz) and os.path.exists(js)):
+        return None
+    with np.load(npz) as data:
+        arrays = {k: data[k] for k in data.files}
+    with open(js) as f:
+        host_state = json.load(f)
+    return arrays, host_state

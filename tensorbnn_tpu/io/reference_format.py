@@ -1,0 +1,183 @@
+"""Reader/writer for the reference's on-disk posterior-sample format.
+
+Format (re-derived from /root/reference/tensorBNN/network.py:546-663 and
+predictor.py:43-130):
+
+* ``architecture.txt`` — one registry layer name per line.
+* ``summary.txt``      — one line per state tensor with its shape dims,
+  then ``"numNetworks numFiles numStates"``, then the hyper scalar count.
+* ``{tensorIdx}.{fileIdx}.txt`` — ``networksPerFile`` consecutive networks'
+  copies of state tensor ``tensorIdx`` appended row-wise (np.savetxt), in
+  the reference's column-major layout (W: (out, in), b: (out, 1)).
+* ``hypers{fileIdx}.txt`` — per network, all hyper scalars flattened in
+  layer order followed by the likelihood's hypers.
+
+The writer only materializes complete files (the reference's summary is only
+rewritten on file-rotation boundaries, so its counts always describe full
+files; a trailing partial file is never counted — network.py:610-646).
+
+This module exists for cross-compatibility and parity tests: a user can point
+the reference's ``predictor`` at our output and vice versa. The fast native
+path is :mod:`tensorbnn_tpu.io.checkpoint`.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Sequence, Tuple
+
+import numpy as np
+
+from tensorbnn_tpu.likelihoods import Likelihood
+from tensorbnn_tpu.models.sequential import Sequential
+
+
+def ref_state_tensors(model: Sequential, params: tuple) -> List[np.ndarray]:
+    """Ordered reference-layout state tensors (leading axis = samples ok)."""
+    out = []
+    for layer, p in zip(model.layers, params):
+        out.extend(np.asarray(t) for t in layer.ref_param_tensors(p))
+    return out
+
+
+def ref_hyper_matrix(model: Sequential, likelihood: Likelihood,
+                     hypers: tuple, lik_hypers: dict) -> np.ndarray:
+    """Stacks hyper scalars into reference order, shape (S, H) or (H,).
+
+    Order: per-layer declaration order, then the likelihood's hypers
+    (appended last, reference network.py:542-543).
+    """
+    cols = []
+    for layer, h in zip(model.layers, hypers):
+        cols.extend(np.asarray(v) for v in layer.ref_hyper_values(h))
+    if likelihood.n_ref_hyper_scalars:
+        for k in sorted(lik_hypers):
+            cols.append(np.asarray(lik_hypers[k]))
+    if not cols:
+        return np.zeros((0,))
+    return np.stack(cols, axis=-1)
+
+
+def save_run(path: str, model: Sequential, likelihood: Likelihood,
+             param_samples: tuple, hyper_samples: tuple,
+             lik_hyper_samples: dict, networks_per_file: int) -> int:
+    """Writes a sampled run in the reference directory layout.
+
+    ``param_samples``/``hyper_samples``/``lik_hyper_samples`` are the model
+    pytrees with a leading sample axis. Returns the number of networks
+    actually recorded (complete files only).
+    """
+    os.makedirs(path, exist_ok=True)
+
+    with open(os.path.join(path, "architecture.txt"), "w") as f:
+        for name in model.layer_names:
+            f.write(name + "\n")
+
+    tensors = ref_state_tensors(model, param_samples)
+    hyper_mat = ref_hyper_matrix(model, likelihood, hyper_samples,
+                                 lik_hyper_samples)
+
+    n_samples = tensors[0].shape[0] if tensors else 0
+    n_files = n_samples // networks_per_file
+    n_keep = n_files * networks_per_file
+
+    for n, tensor in enumerate(tensors):
+        for m in range(n_files):
+            sl = tensor[m * networks_per_file:(m + 1) * networks_per_file]
+            with open(os.path.join(path, f"{n}.{m}.txt"), "wb") as f:
+                for net in sl:
+                    np.savetxt(f, np.atleast_1d(net))
+
+    n_hyper_scalars = hyper_mat.shape[-1] if hyper_mat.ndim else 0
+    if n_hyper_scalars:
+        for m in range(n_files):
+            sl = hyper_mat[m * networks_per_file:(m + 1) * networks_per_file]
+            with open(os.path.join(path, f"hypers{m}.txt"), "wb") as f:
+                for net in sl:
+                    np.savetxt(f, net)
+
+    with open(os.path.join(path, "summary.txt"), "w") as f:
+        for tensor in tensors:
+            shape = tensor.shape[1:]
+            f.write(" ".join(str(s) for s in shape) + "\n")
+        f.write(f"{n_keep} {n_files} {len(tensors)}\n")
+        f.write(str(n_hyper_scalars))
+    return n_keep
+
+
+def load_run(path: str) -> Tuple[List[str], List[np.ndarray], np.ndarray]:
+    """Loads a reference-format directory.
+
+    Returns ``(layer_names, matrices, hypers)`` where each entry of
+    ``matrices`` has shape (numNetworks, rows, cols) in reference layout and
+    ``hypers`` has shape (numNetworks, numHypers) (empty second dim if none).
+    Mirrors the parsing in reference predictor.py:43-113.
+    """
+    summary = []
+    with open(os.path.join(path, "summary.txt")) as f:
+        for line in f:
+            summary.append(line.split())
+    num_networks = int(summary[-2][0])
+    num_files = int(summary[-2][1])
+    num_matrices = int(summary[-2][2])
+    num_hypers = int(summary[-1][0])
+    per_file = num_networks // num_files if num_files else 0
+
+    matrices = []
+    for n in range(num_matrices):
+        dims = [int(v) for v in summary[n]]
+        rows = dims[0]
+        cols = dims[1] if len(dims) == 2 else 1
+        chunks = []
+        for m in range(num_files):
+            flat = np.loadtxt(os.path.join(path, f"{n}.{m}.txt"),
+                              dtype=np.float32, ndmin=2)
+            chunks.append(flat.reshape(per_file, rows, cols))
+        matrices.append(np.concatenate(chunks, axis=0))
+
+    if num_hypers > 0:
+        hyper_chunks = []
+        for m in range(num_files):
+            flat = np.loadtxt(os.path.join(path, f"hypers{m}.txt"),
+                              dtype=np.float32, ndmin=1)
+            hyper_chunks.append(flat.reshape(per_file, num_hypers))
+        hypers = np.concatenate(hyper_chunks, axis=0)
+    else:
+        hypers = np.zeros((num_networks, 0), np.float32)
+
+    with open(os.path.join(path, "architecture.txt")) as f:
+        layer_names = [line.strip() for line in f if line.strip()]
+
+    return layer_names, matrices, hypers
+
+
+def assign_ref_tensors(layers: Sequence, matrices: List[np.ndarray]):
+    """Distributes loaded reference matrices back into per-layer params.
+
+    Each matrix keeps its leading sample axis; layer conversion hooks handle
+    the layout transposes. Returns a tuple of per-layer param dicts (stacked
+    over samples).
+    """
+    params = []
+    idx = 0
+    for layer in layers:
+        n = layer.n_ref_param_tensors
+        params.append(layer.params_from_ref(matrices[idx:idx + n]))
+        idx += n
+    return tuple(params)
+
+
+def assign_ref_hypers(layers: Sequence, hyper_mat: np.ndarray):
+    """Distributes hyper scalar columns back into per-layer hyper dicts.
+
+    Returns ``(hypers_tuple, remaining_columns)`` — the trailing columns
+    belong to the likelihood.
+    """
+    hypers = []
+    idx = 0
+    for layer in layers:
+        n = layer.n_ref_hyper_scalars
+        cols = [hyper_mat[..., idx + j] for j in range(n)]
+        hypers.append(layer.hypers_from_ref(cols))
+        idx += n
+    return tuple(hypers), hyper_mat[..., idx:]

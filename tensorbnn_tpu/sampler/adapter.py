@@ -188,7 +188,10 @@ class ParamAdapter:
         new_k[:, -1] = new_col[:, 0]
         self.K = new_k
 
-        s = self.a / self.max_r
+        # TF float division: a/0 -> inf rather than raising (dead chains
+        # produce all-zero SJD windows before the strike reset fires)
+        with np.errstate(divide="ignore"):
+            s = float(np.float64(self.a) / np.float64(self.max_r))
         sigma_nu = float(np.mean(self.all_sd))
         reg = self.K + (sigma_nu ** 2) * np.eye(size)
         try:
@@ -214,6 +217,44 @@ class ParamAdapter:
             self.previous_gamma = self.previous_gamma[1:]
             self.all_data = self.all_data[1:]
             self.all_sd = self.all_sd[1:]
+
+    def state_dict(self) -> dict:
+        """Serializable adapter state for true mid-chain resume — a
+        capability the reference lacks (SURVEY.md #5: RNG/adapter state are
+        never saved there)."""
+        return {
+            "current_e": self.current_e,
+            "current_l": self.current_l,
+            "el": self.el, "eu": self.eu,
+            "k": self.k, "i": self.i,
+            "strikes": self.strikes, "n_resets": self.n_resets,
+            "previous_gamma": [list(g) for g in self.previous_gamma],
+            "all_data": list(self.all_data),
+            "all_sd": list(self.all_sd),
+            "current_data": list(self.current_data),
+            "K": self.K.tolist(),
+            "max_r": self.max_r,
+            "rng_state": self.rng.bit_generator.state,
+        }
+
+    def load_state_dict(self, state: dict) -> None:
+        self.current_e = float(state["current_e"])
+        self.current_l = int(state["current_l"])
+        self.el = float(state["el"])
+        self.eu = float(state["eu"])
+        self.e_grid = np.linspace(self.el, self.eu, num=self.e_number)
+        self.k = float(state["k"])
+        self.i = float(state["i"])
+        self.strikes = int(state["strikes"])
+        self.n_resets = int(state["n_resets"])
+        self.previous_gamma = [tuple(g) for g in state["previous_gamma"]]
+        self.all_data = list(state["all_data"])
+        self.all_sd = list(state["all_sd"])
+        self.current_data = list(state["current_data"])
+        n = len(self.previous_gamma)
+        self.K = np.asarray(state["K"], dtype=np.float64).reshape(n, n)
+        self.max_r = float(state["max_r"])
+        self.rng.bit_generator.state = state["rng_state"]
 
     def epochs_until_next_change(self) -> int:
         """Number of further epochs after which (eps, L) may next change.

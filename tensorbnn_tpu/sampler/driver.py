@@ -1,0 +1,252 @@
+"""Training driver: chunked device dispatch + host adapter orchestration.
+
+The reference's training loop round-trips Python<->device twice per epoch and
+runs its GP adapter eagerly between dispatches (SURVEY.md #3.1). This driver
+instead dispatches one *adapter cycle* of epochs per device call (a
+``lax.scan`` built by :mod:`tensorbnn_tpu.sampler.gibbs`), then replays the
+returned per-epoch SJD scalars through the host-side GP-UCB adapter to pick
+the next cycle's (step size, leapfrog count). Chunk boundaries land exactly
+on the epochs where the adapter may change its proposal (reference
+paramAdapter.py:231), so the adaptation trajectory matches the reference's
+per-epoch schedule.
+
+Because step size and leapfrog count are traced arguments, the whole run
+compiles at most a handful of times (distinct chunk lengths), versus the
+reference's retrace on every leapfrog change.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tensorbnn_tpu.io import checkpoint, reference_format
+from tensorbnn_tpu.likelihoods import Likelihood
+from tensorbnn_tpu.models.sequential import Sequential
+from tensorbnn_tpu.sampler.adapter import ParamAdapter
+from tensorbnn_tpu.sampler.gibbs import init_chain_state, make_chunk_runner
+from tensorbnn_tpu.sampler.potential import flatten_state
+
+
+@dataclasses.dataclass
+class MCMCConfig:
+    """Sampler configuration, mirroring reference ``setupMCMC`` kwargs
+    (network.py:193-259)."""
+
+    step_size_start: float = 1e-3
+    step_size_min: float = 1e-4
+    step_size_max: float = 1e-2
+    step_size_options: int = 40
+    leapfrog_start: int = 1000
+    leapfrog_min: int = 100
+    leapfrog_max: int = 10000
+    leapfrog_increment: int = 1
+    hyper_step_size: float = 1e-2
+    hyper_leapfrog: int = 100
+    burnin: int = 1000
+    averaging_steps: int = 10
+    a: float = 4.0
+    delta: float = 0.1
+    max_strikes: int = 50
+    random_steps: int = 10
+    adapter_seed: int = 0
+
+    def make_adapter(self) -> ParamAdapter:
+        return ParamAdapter(
+            e1=self.step_size_start, L1=self.leapfrog_start,
+            el=self.step_size_min, eu=self.step_size_max,
+            e_number=self.step_size_options,
+            Ll=self.leapfrog_min, Lu=self.leapfrog_max,
+            l_step=self.leapfrog_increment,
+            m=self.averaging_steps,
+            k=self.burnin / self.averaging_steps,
+            a=self.a, delta=self.delta,
+            max_strikes=self.max_strikes,
+            random_steps=self.random_steps,
+            seed=self.adapter_seed)
+
+
+@dataclasses.dataclass
+class RunResult:
+    """Outcome of a sampling run."""
+
+    #: stacked posterior samples, leading axis = sample
+    param_samples: tuple
+    hyper_samples: tuple
+    lik_hyper_samples: dict
+    #: per-epoch diagnostics over the whole run
+    sjd: np.ndarray
+    main_accept: np.ndarray
+    hyper_accept: np.ndarray
+    #: final values for introspection / resume
+    final_step_size: float
+    final_leapfrog: int
+    final_hyper_step: float
+    n_epochs: int
+    wall_time: float
+    #: raw flat sample stacks (S, D) / (S, H) for diagnostics
+    theta_samples: np.ndarray = None
+    eta_samples: np.ndarray = None
+
+
+def sample_posterior(model: Sequential, likelihood: Likelihood,
+                     x_train, y_train, *,
+                     config: MCMCConfig,
+                     params: tuple, hypers: tuple,
+                     key,
+                     epochs: int,
+                     sampling_step: int,
+                     adjust_hypers: bool = True,
+                     metric_list: Sequence = (),
+                     x_validate=None, y_validate=None,
+                     display_skip: int = 0,
+                     folder_name: Optional[str] = None,
+                     networks_per_file: int = 1000,
+                     dtype=jnp.float32,
+                     verbose: bool = True) -> RunResult:
+    """Runs the two-block adaptive HMC sampler.
+
+    Argument semantics mirror reference ``network.train`` (network.py:
+    509-670): epochs of main-HMC + hyper-HMC steps; posterior networks are
+    recorded every ``sampling_step`` epochs after ``config.burnin``;
+    ``display_skip`` controls metric printing (0 disables).
+    """
+    t_start = time.time()
+    x_train = jnp.asarray(x_train, dtype)
+    y_train = jnp.asarray(y_train, dtype)
+
+    lik_hypers = likelihood.init_hypers(dtype)
+    flat = flatten_state(params, hypers, lik_hypers)
+
+    run_chunk = make_chunk_runner(
+        model, likelihood, x_train, y_train,
+        flat.unravel_theta, flat.unravel_eta,
+        adjust_hypers=adjust_hypers,
+        hyper_leapfrog=config.hyper_leapfrog,
+        burnin=float(config.burnin),
+        hyper_step_size_init=config.hyper_step_size,
+        donate=jax.default_backend() == "tpu")
+
+    carry = init_chain_state(flat.theta, flat.eta, key,
+                             config.hyper_step_size, dtype)
+    adapter = config.make_adapter()
+
+    step_size = config.step_size_start
+    leapfrog = config.leapfrog_start
+
+    theta_samples: List[np.ndarray] = []
+    eta_samples: List[np.ndarray] = []
+    sjds: List[np.ndarray] = []
+    main_accepts: List[np.ndarray] = []
+    hyper_accepts: List[np.ndarray] = []
+
+    apply_jit = jax.jit(lambda th, xx: model.apply(flat.unravel_theta(th), xx))
+
+    iter_ = 0  # completed epochs, reference 1-based bookkeeping
+    while iter_ < epochs:
+        chunk = min(adapter.epochs_until_next_change(), epochs - iter_)
+        carry, trace = run_chunk(
+            carry,
+            jnp.asarray(step_size, dtype),
+            jnp.asarray(leapfrog, jnp.int32),
+            chunk)
+
+        sjd = np.asarray(trace.sjd)
+        m_acc = np.asarray(trace.main_accept)
+        h_acc = np.asarray(trace.hyper_accept)
+        thetas = np.asarray(trace.theta)
+        etas = np.asarray(trace.eta)
+        sjds.append(sjd)
+        main_accepts.append(m_acc)
+        hyper_accepts.append(h_acc)
+
+        for j in range(chunk):
+            iter_ += 1
+            # the reference's first adapter call carries no SJD
+            # (paramAdapter.py:216-219): previous_state starts as None
+            step_size, leapfrog = adapter.update(
+                None if iter_ == 1 else float(sjd[j]))
+            step_size = float(np.clip(step_size, 1e-12, None))
+
+            if iter_ > config.burnin and iter_ % sampling_step == 0:
+                theta_samples.append(thetas[j])
+                eta_samples.append(etas[j])
+
+            if display_skip and iter_ % display_skip == 0 and verbose:
+                print(f"\niter:{iter_:>2}")
+                print("step size", step_size)
+                print("hyper step size", float(carry.hyper_step))
+                print("leapfrog", leapfrog)
+                print("Main acceptance", float(m_acc[j]))
+                print("Hyper acceptance", float(h_acc[j]))
+                if metric_list:
+                    p = flat.unravel_theta(jnp.asarray(thetas[j]))
+                    preds_train = model.apply(p, x_train)
+                    preds_val = (model.apply(p, jnp.asarray(x_validate, dtype))
+                                 if x_validate is not None else preds_train)
+                    real_val = (jnp.asarray(y_validate, dtype)
+                                if y_validate is not None else y_train)
+                    for metric in metric_list:
+                        metric.calculate(preds_train, preds_val,
+                                         y_train, real_val)
+                        print(metric.display())
+                msg = likelihood.display(
+                    _lik_hypers_from_eta(flat, etas[j]))
+                if msg:
+                    print(msg)
+
+    # -- stack samples ----------------------------------------------------------
+    if theta_samples:
+        theta_stack = jnp.asarray(np.stack(theta_samples))
+        eta_stack = jnp.asarray(np.stack(eta_samples))
+        param_samples = jax.vmap(flat.unravel_theta)(theta_stack)
+        hyper_samples, lik_hyper_samples = jax.vmap(flat.unravel_eta)(
+            eta_stack)
+        param_samples = jax.tree.map(np.asarray, param_samples)
+        hyper_samples = jax.tree.map(np.asarray, hyper_samples)
+        lik_hyper_samples = jax.tree.map(np.asarray, lik_hyper_samples)
+    else:
+        param_samples = tuple({} for _ in model.layers)
+        hyper_samples = tuple({} for _ in model.layers)
+        lik_hyper_samples = {}
+
+    if folder_name is not None and theta_samples:
+        # reference text layout (cross-compatible with the reference's
+        # predictor) plus the fast native npz store
+        reference_format.save_run(
+            folder_name, model, likelihood,
+            param_samples, hyper_samples, lik_hyper_samples,
+            networks_per_file)
+        checkpoint.save_samples(
+            folder_name, param_samples, hyper_samples, lik_hyper_samples)
+
+    del apply_jit
+    return RunResult(
+        param_samples=param_samples,
+        hyper_samples=hyper_samples,
+        lik_hyper_samples=lik_hyper_samples,
+        sjd=np.concatenate(sjds) if sjds else np.zeros(0),
+        main_accept=np.concatenate(main_accepts) if main_accepts
+        else np.zeros(0),
+        hyper_accept=np.concatenate(hyper_accepts) if hyper_accepts
+        else np.zeros(0),
+        final_step_size=float(step_size),
+        final_leapfrog=int(leapfrog),
+        final_hyper_step=float(carry.hyper_step),
+        n_epochs=iter_,
+        wall_time=time.time() - t_start,
+        theta_samples=(np.stack(theta_samples) if theta_samples
+                       else np.zeros((0,))),
+        eta_samples=(np.stack(eta_samples) if eta_samples
+                     else np.zeros((0,))),
+    )
+
+
+def _lik_hypers_from_eta(flat, eta_row):
+    _, lik_hypers = flat.unravel_eta(jnp.asarray(eta_row))
+    return lik_hypers

@@ -1,0 +1,173 @@
+"""End-to-end sampler + IO + predictor tests on a small regression problem
+(the reference's de-facto integration test, Examples/trainRegression.py)."""
+
+import math
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tensorbnn_tpu import (
+    FixedGaussianLikelihood,
+    GaussianDenseLayer,
+    GaussianLikelihood,
+    Tanh,
+)
+from tensorbnn_tpu.io import checkpoint, reference_format
+from tensorbnn_tpu.metrics import PercentError, SquaredError
+from tensorbnn_tpu.network import Network
+from tensorbnn_tpu.predictor import Predictor
+
+
+def trig(x):
+    return np.sin(x * math.pi * 2) * x - np.cos(x * math.pi)
+
+
+@pytest.fixture(scope="module")
+def small_run(tmp_path_factory):
+    folder = str(tmp_path_factory.mktemp("run") / "nets")
+    train_in = np.linspace(-2, 2, num=11)
+    val_in = np.linspace(-2 + 2 / 30, 2 - 2 / 30, num=30)
+
+    net = Network(jnp.float32, 1, train_in, trig(train_in),
+                  val_in, trig(val_in), seed=0)
+    net.add(GaussianDenseLayer(1, 10)).add(Tanh())
+    net.add(GaussianDenseLayer(10, 10)).add(Tanh())
+    net.add(GaussianDenseLayer(10, 1))
+    net.setup_mcmc(step_size_start=1e-3, step_size_min=1e-4,
+                   step_size_max=1e-2, step_size_options=20,
+                   leapfrog_start=50, leapfrog_min=10, leapfrog_max=100,
+                   leapfrog_increment=1, hyper_step_size=1e-3,
+                   hyper_leapfrog=20, burnin=60, averaging_steps=5,
+                   random_steps=3)
+    result = net.train(180, 4, FixedGaussianLikelihood(sd=0.1),
+                       metric_list=[SquaredError(), PercentError()],
+                       folder_name=folder, networks_per_file=10,
+                       display_skip=0, verbose=False)
+    return net, result, folder, train_in, val_in
+
+
+def test_run_produces_finite_samples(small_run):
+    net, result, folder, *_ = small_run
+    assert result.n_epochs == 180
+    # (180 - 60) / 4 = 30 sampled networks
+    assert result.theta_samples.shape[0] == 30
+    assert np.isfinite(result.theta_samples).all()
+    assert np.isfinite(result.sjd).all()
+    assert 0 < result.main_accept.mean() <= 1.0
+    assert 0 < result.hyper_accept.mean() <= 1.0
+
+
+def test_chain_actually_moves(small_run):
+    _, result, *_ = small_run
+    # consecutive samples differ (the chain is not stuck)
+    diffs = np.diff(result.theta_samples, axis=0)
+    assert np.abs(diffs).max() > 0
+
+
+def test_reference_format_roundtrip(small_run):
+    net, result, folder, *_ = small_run
+    names, matrices, hyper_mat = reference_format.load_run(folder)
+    assert names == net.model.layer_names
+    # 30 samples -> 3 complete files of 10
+    assert matrices[0].shape[0] == 30
+    # weights in reference layout: first dense layer W is (out=10, in=1)
+    assert matrices[0].shape[1:] == (10, 1)
+    # round-trip: reassigned pytrees match the in-memory samples
+    params = reference_format.assign_ref_tensors(net.model.layers, matrices)
+    w_mem = np.asarray(result.param_samples[0]["w"])  # (S, 1, 10)
+    np.testing.assert_allclose(np.asarray(params[0]["w"]), w_mem, rtol=1e-5,
+                               atol=1e-6)
+    # hyper matrix columns: 3 dense layers x 4 hypers, fixed-sd likelihood
+    # contributes none
+    assert hyper_mat.shape == (30, 12)
+
+
+def test_native_store_roundtrip(small_run):
+    net, result, folder, *_ = small_run
+    params, hypers, lik = checkpoint.load_samples(folder)
+    np.testing.assert_allclose(
+        np.asarray(params[0]["w"]),
+        np.asarray(result.param_samples[0]["w"]), rtol=1e-6)
+    assert len(params) == len(net.model.layers)
+
+
+def test_predictor_from_reference_format(small_run):
+    net, result, folder, train_in, val_in = small_run
+    pred = Predictor(folder, dtype=jnp.float32,
+                     likelihood=FixedGaussianLikelihood(sd=0.1))
+    assert pred.n_networks == 30
+    out = pred.predict(train_in[:, None], n=1)
+    assert out.shape == (30, 11, 1)
+    assert np.isfinite(out).all()
+    # ensemble predictions should roughly track the target on train points
+    mean, sd = pred.predict_mean_sd(train_in[:, None])
+    assert mean.shape == (11, 1) and sd.shape == (11, 1)
+
+    # thinning
+    out2 = pred.predict(train_in[:, None], n=2)
+    assert out2.shape == (15, 11, 1)
+    np.testing.assert_allclose(out2, out[::2], rtol=1e-6)
+
+
+def test_predictor_vmap_matches_loop(small_run):
+    """The vmapped ensemble forward equals per-network application."""
+    net, result, folder, train_in, _ = small_run
+    pred = Predictor(folder, likelihood=FixedGaussianLikelihood(sd=0.1))
+    out = pred.predict(train_in[:, None], n=1)
+    x = jnp.asarray(train_in[:, None], jnp.float32)
+    import jax
+    one = jax.tree.map(lambda v: jnp.asarray(v)[3], pred.param_samples)
+    single = np.asarray(pred.model.apply(one, x))
+    np.testing.assert_allclose(out[3], single, rtol=1e-5, atol=1e-5)
+
+
+def test_predictor_statistics_and_autocorr(small_run):
+    net, result, folder, train_in, _ = small_run
+    pred = Predictor(folder, likelihood=FixedGaussianLikelihood(sd=0.1))
+    means, sds = pred.parameter_statistics()
+    assert np.asarray(means[0]["w"]).shape == (1, 10)
+    hyper_means, hyper_sds = pred.hyper_statistics()
+    assert hyper_means.shape == (12,)
+
+    acf = pred.autocorrelation(train_in[:, None], n_max=10)
+    assert len(acf) <= 10
+    assert acf[0] == pytest.approx(1.0, abs=1e-6)
+    tau = pred.autocorrelation_length(train_in[:, None], n_max=50)
+    assert np.isfinite(tau) and tau >= 0
+
+
+def test_predictor_reweight(small_run):
+    net, result, folder, train_in, _ = small_run
+    pred = Predictor(folder, likelihood=FixedGaussianLikelihood(sd=0.1))
+    # reweight to the same architecture -> uniform weights
+    w_same = pred.reweight(net.model.layers, train_x=train_in[:, None],
+                           train_y=trig(train_in),
+                           likelihood=FixedGaussianLikelihood(sd=0.1))
+    np.testing.assert_allclose(w_same, np.full(30, 1 / 30), rtol=1e-4)
+
+    # different likelihood sd -> non-uniform but normalized
+    pred2 = Predictor(folder, likelihood=FixedGaussianLikelihood(sd=0.1))
+    w_new = pred2.reweight(net.model.layers, train_x=train_in[:, None],
+                           train_y=trig(train_in),
+                           likelihood=FixedGaussianLikelihood(sd=0.1))
+    assert w_new.sum() == pytest.approx(1.0, rel=1e-5)
+
+
+def test_learned_noise_likelihood_runs():
+    """GaussianLikelihood couples its sd hyper into the hyper chain
+    (mainProbsInHypers, reference network.py:435-438)."""
+    train_in = np.linspace(-1, 1, num=9)
+    net = Network(jnp.float32, 1, train_in, trig(train_in),
+                  train_in, trig(train_in), seed=1)
+    net.add(GaussianDenseLayer(1, 5)).add(Tanh())
+    net.add(GaussianDenseLayer(5, 1))
+    net.setup_mcmc(step_size_start=1e-3, leapfrog_start=20, leapfrog_min=5,
+                   leapfrog_max=50, burnin=20, averaging_steps=5,
+                   hyper_leapfrog=10, random_steps=2)
+    res = net.train(60, 4, GaussianLikelihood(sd=0.1), display_skip=0,
+                    verbose=False)
+    assert res.eta_samples.shape[1] == 2 * 4 + 1  # 2 layers x 4 + noise
+    assert np.isfinite(res.eta_samples).all()
+    # the learned noise hyper should have moved off its sqrt(0.1) init
+    assert np.std(res.eta_samples[:, -1]) > 0
