@@ -109,6 +109,7 @@ class Network:
               folder_name: Optional[str] = None,
               networks_per_file: int = 1000,
               display_skip: int = 0, verbose: bool = True,
+              n_chains: int = 1, chain_jitter: float = 0.0, mesh=None,
               **kwargs) -> RunResult:
         """Runs the sampler (reference ``network.train``, network.py:509).
 
@@ -139,6 +140,7 @@ class Network:
             x_validate=self.validate_x, y_validate=self.validate_y,
             display_skip=display_skip, folder_name=folder_name,
             networks_per_file=networks_per_file, dtype=self.dtype,
+            n_chains=n_chains, chain_jitter=chain_jitter, mesh=mesh,
             verbose=verbose)
         return self.results
 

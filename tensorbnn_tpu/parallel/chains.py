@@ -1,0 +1,138 @@
+"""Multi-chain HMC: vmapped chains sharded over a (chains, data) mesh.
+
+The scaling design SURVEY.md #2.2 calls for (new capability — the reference
+is strictly single-chain, single-device):
+
+* chains are **vmapped** inside each device — the per-chain flat states
+  batch into a ``(C, D)`` matrix so every leapfrog update is one large
+  VPU/MXU-friendly op;
+* chain groups are **shard_map'd** across the mesh's ``chains`` axis — no
+  collective ever crosses it;
+* the likelihood (and its gradient, via ``jax.grad`` through the ``psum``)
+  is data-parallel over the ``data`` axis: each device computes its shard's
+  log-likelihood term and XLA compiles the ``psum`` onto the ICI.
+
+Adaptation design decision (SURVEY.md #7 hard part 3): the GP-UCB adapter is
+*shared* across chains — it consumes the cross-chain mean SJD — while the
+hyper chain's dual-averaging state is *per chain* (each chain carries its own
+``(hyper_step, log_eps_bar, h)``). A shared (eps, L) keeps every chain in the
+same compiled program; per-chain dual averaging costs nothing because it
+lives in the vmapped carry.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from tensorbnn_tpu.likelihoods import Likelihood
+from tensorbnn_tpu.models.sequential import Sequential
+from tensorbnn_tpu.parallel.mesh import CHAIN_AXIS, DATA_AXIS
+from tensorbnn_tpu.sampler.gibbs import ChainState, EpochTrace, make_epoch_fn
+
+
+def init_multichain_state(theta, eta, key, hyper_step_size, n_chains: int,
+                          dtype=jnp.float32, jitter: float = 0.0,
+                          ) -> ChainState:
+    """Builds a batched ChainState of ``n_chains`` chains.
+
+    All chains start from the same (theta, eta) unless ``jitter`` > 0, in
+    which case each chain's theta is perturbed with N(0, jitter) noise —
+    overdispersed starts for R-hat style diagnostics.
+    """
+    keys = jax.random.split(key, n_chains + 1)
+    chain_keys, jitter_key = keys[:n_chains], keys[-1]
+    theta = jnp.broadcast_to(jnp.asarray(theta, dtype),
+                             (n_chains,) + jnp.shape(theta)).copy()
+    if jitter > 0:
+        theta = theta + jitter * jax.random.normal(jitter_key, theta.shape,
+                                                   dtype)
+    eta = jnp.broadcast_to(jnp.asarray(eta, dtype),
+                           (n_chains,) + jnp.shape(eta)).copy()
+    zeros = jnp.zeros((n_chains,), dtype)
+    return ChainState(
+        theta=theta, eta=eta, key=chain_keys,
+        hyper_step=jnp.full((n_chains,), hyper_step_size, dtype),
+        log_eps_bar=zeros, h=zeros, epoch=zeros)
+
+
+def make_multichain_chunk_runner(model: Sequential, likelihood: Likelihood,
+                                 x, y, unravel_theta, unravel_eta, *,
+                                 adjust_hypers: bool,
+                                 hyper_leapfrog: int,
+                                 burnin: float,
+                                 hyper_step_size_init: float,
+                                 mesh: Optional[Mesh] = None,
+                                 donate: bool = True):
+    """Builds ``run_chunk(carry, x, y, step_size, leapfrog, n_epochs)`` over
+    batched chains.
+
+    Without a mesh this is a plain vmap over the chain axis (single-device
+    many-chain mode — the bench configuration for one TPU chip). With a mesh,
+    the body runs under ``shard_map``: chains split over the ``chains`` axis,
+    the data batch over the ``data`` axis, likelihood psum'd.
+
+    Unlike the single-chain runner, ``x``/``y`` are arguments rather than
+    closure constants so shard_map can annotate their shardings.
+    """
+    mu = math.log(100.0 * hyper_step_size_init)
+
+    def make_body(axis_name):
+        def body(carry, x_shard, y_shard, step_size, leapfrog,
+                 n_epochs: int):
+            epoch_fn = make_epoch_fn(
+                model, likelihood, x_shard, y_shard,
+                unravel_theta, unravel_eta,
+                adjust_hypers=adjust_hypers,
+                hyper_leapfrog=hyper_leapfrog,
+                burnin=burnin, mu=mu, axis_name=axis_name)
+            vmapped = jax.vmap(epoch_fn, in_axes=(0, None, None))
+
+            def step(c, _):
+                return vmapped(c, step_size, leapfrog)
+
+            return lax.scan(step, carry, xs=None, length=n_epochs)
+        return body
+
+    if mesh is None:
+        body = make_body(None)
+
+        @functools.partial(jax.jit, static_argnums=(5,),
+                           donate_argnums=(0,) if donate else ())
+        def run_chunk(carry, x_in, y_in, step_size, leapfrog, n_epochs):
+            return body(carry, x_in, y_in, step_size, leapfrog, n_epochs)
+
+        return run_chunk
+
+    body = make_body(DATA_AXIS)
+
+    chain_state_spec = ChainState(
+        theta=P(CHAIN_AXIS), eta=P(CHAIN_AXIS), key=P(CHAIN_AXIS),
+        hyper_step=P(CHAIN_AXIS), log_eps_bar=P(CHAIN_AXIS),
+        h=P(CHAIN_AXIS), epoch=P(CHAIN_AXIS))
+    # scan stacks a leading epoch axis onto every per-chain trace leaf
+    epoch_trace_spec = EpochTrace(
+        theta=P(None, CHAIN_AXIS), eta=P(None, CHAIN_AXIS),
+        sjd=P(None, CHAIN_AXIS), main_accept=P(None, CHAIN_AXIS),
+        hyper_accept=P(None, CHAIN_AXIS))
+
+    @functools.partial(jax.jit, static_argnums=(5,),
+                       donate_argnums=(0,) if donate else ())
+    def run_chunk(carry, x_in, y_in, step_size, leapfrog, n_epochs):
+        fn = shard_map(
+            functools.partial(body, n_epochs=n_epochs),
+            mesh=mesh,
+            in_specs=(chain_state_spec, P(DATA_AXIS), P(DATA_AXIS),
+                      P(), P()),
+            out_specs=(chain_state_spec, epoch_trace_spec),
+            check_vma=False)
+        return fn(carry, x_in, y_in, step_size, leapfrog)
+
+    return run_chunk

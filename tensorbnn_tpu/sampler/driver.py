@@ -3,7 +3,7 @@
 The reference's training loop round-trips Python<->device twice per epoch and
 runs its GP adapter eagerly between dispatches (SURVEY.md #3.1). This driver
 instead dispatches one *adapter cycle* of epochs per device call (a
-``lax.scan`` built by :mod:`tensorbnn_tpu.sampler.gibbs`), then replays the
+``lax.scan`` built by :mod:`tensorbnn_tpu.parallel.chains`), then replays the
 returned per-epoch SJD scalars through the host-side GP-UCB adapter to pick
 the next cycle's (step size, leapfrog count). Chunk boundaries land exactly
 on the epochs where the adapter may change its proposal (reference
@@ -13,6 +13,13 @@ per-epoch schedule.
 Because step size and leapfrog count are traced arguments, the whole run
 compiles at most a handful of times (distinct chunk lengths), versus the
 reference's retrace on every leapfrog change.
+
+Chains always run through the batched multi-chain path (a single chain is
+just C=1): states batch as (C, D) matrices and, when a mesh is given, chain
+groups shard over the ``chains`` axis with the likelihood psum'd over
+``data`` (SURVEY.md #2.2). The GP adapter consumes the cross-chain mean SJD
+(shared (eps, L) across chains — the recorded design decision for hard part
+3); dual averaging for the hyper chain is per chain inside the carry.
 """
 
 from __future__ import annotations
@@ -28,8 +35,13 @@ import numpy as np
 from tensorbnn_tpu.io import checkpoint, reference_format
 from tensorbnn_tpu.likelihoods import Likelihood
 from tensorbnn_tpu.models.sequential import Sequential
+from tensorbnn_tpu.parallel.chains import (
+    init_multichain_state,
+    make_multichain_chunk_runner,
+)
+from tensorbnn_tpu.parallel.mesh import DATA_AXIS, chain_sharding, \
+    data_sharding
 from tensorbnn_tpu.sampler.adapter import ParamAdapter
-from tensorbnn_tpu.sampler.gibbs import init_chain_state, make_chunk_runner
 from tensorbnn_tpu.sampler.potential import flatten_state
 
 
@@ -75,11 +87,12 @@ class MCMCConfig:
 class RunResult:
     """Outcome of a sampling run."""
 
-    #: stacked posterior samples, leading axis = sample
+    #: stacked posterior samples pooled over chains (leading axis = sample,
+    #: chain-major: all of chain 0's samples first)
     param_samples: tuple
     hyper_samples: tuple
     lik_hyper_samples: dict
-    #: per-epoch diagnostics over the whole run
+    #: per-epoch diagnostics, shape (epochs,) — cross-chain means
     sjd: np.ndarray
     main_accept: np.ndarray
     hyper_accept: np.ndarray
@@ -88,10 +101,22 @@ class RunResult:
     final_leapfrog: int
     final_hyper_step: float
     n_epochs: int
+    n_chains: int
     wall_time: float
-    #: raw flat sample stacks (S, D) / (S, H) for diagnostics
+    #: raw flat sample stacks: (S, C, D) / (S, C, H)
     theta_samples: np.ndarray = None
     eta_samples: np.ndarray = None
+
+    @property
+    def theta_pooled(self) -> np.ndarray:
+        """(S*C, D), chain-major."""
+        s, c, d = self.theta_samples.shape
+        return np.transpose(self.theta_samples, (1, 0, 2)).reshape(-1, d)
+
+    @property
+    def eta_pooled(self) -> np.ndarray:
+        s, c, h = self.eta_samples.shape
+        return np.transpose(self.eta_samples, (1, 0, 2)).reshape(-1, h)
 
 
 def sample_posterior(model: Sequential, likelihood: Likelihood,
@@ -108,32 +133,51 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
                      folder_name: Optional[str] = None,
                      networks_per_file: int = 1000,
                      dtype=jnp.float32,
+                     n_chains: int = 1,
+                     chain_jitter: float = 0.0,
+                     mesh=None,
                      verbose: bool = True) -> RunResult:
     """Runs the two-block adaptive HMC sampler.
 
     Argument semantics mirror reference ``network.train`` (network.py:
     509-670): epochs of main-HMC + hyper-HMC steps; posterior networks are
     recorded every ``sampling_step`` epochs after ``config.burnin``;
-    ``display_skip`` controls metric printing (0 disables).
+    ``display_skip`` controls metric printing (0 disables). New vs. the
+    reference: ``n_chains`` parallel chains (vmapped; sharded over
+    ``mesh``'s chain axis when given) and a data-parallel likelihood over
+    the mesh's data axis.
     """
     t_start = time.time()
     x_train = jnp.asarray(x_train, dtype)
     y_train = jnp.asarray(y_train, dtype)
 
+    if mesh is not None:
+        n_data = mesh.shape[DATA_AXIS]
+        if x_train.shape[0] % n_data:
+            raise ValueError(
+                f"training rows {x_train.shape[0]} must divide the data "
+                f"axis ({n_data}); pad the dataset")
+        x_train = jax.device_put(x_train, data_sharding(mesh))
+        y_train = jax.device_put(y_train, data_sharding(mesh))
+
     lik_hypers = likelihood.init_hypers(dtype)
     flat = flatten_state(params, hypers, lik_hypers)
 
-    run_chunk = make_chunk_runner(
+    run_chunk = make_multichain_chunk_runner(
         model, likelihood, x_train, y_train,
         flat.unravel_theta, flat.unravel_eta,
         adjust_hypers=adjust_hypers,
         hyper_leapfrog=config.hyper_leapfrog,
         burnin=float(config.burnin),
         hyper_step_size_init=config.hyper_step_size,
+        mesh=mesh,
         donate=jax.default_backend() == "tpu")
 
-    carry = init_chain_state(flat.theta, flat.eta, key,
-                             config.hyper_step_size, dtype)
+    carry = init_multichain_state(flat.theta, flat.eta, key,
+                                  config.hyper_step_size, n_chains,
+                                  dtype, jitter=chain_jitter)
+    if mesh is not None:
+        carry = jax.device_put(carry, chain_sharding(mesh))
     adapter = config.make_adapter()
 
     step_size = config.step_size_start
@@ -145,32 +189,31 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
     main_accepts: List[np.ndarray] = []
     hyper_accepts: List[np.ndarray] = []
 
-    apply_jit = jax.jit(lambda th, xx: model.apply(flat.unravel_theta(th), xx))
-
     iter_ = 0  # completed epochs, reference 1-based bookkeeping
     while iter_ < epochs:
         chunk = min(adapter.epochs_until_next_change(), epochs - iter_)
         carry, trace = run_chunk(
-            carry,
+            carry, x_train, y_train,
             jnp.asarray(step_size, dtype),
             jnp.asarray(leapfrog, jnp.int32),
             chunk)
 
-        sjd = np.asarray(trace.sjd)
-        m_acc = np.asarray(trace.main_accept)
+        sjd = np.asarray(trace.sjd)            # (chunk, C)
+        m_acc = np.asarray(trace.main_accept)  # (chunk, C)
         h_acc = np.asarray(trace.hyper_accept)
-        thetas = np.asarray(trace.theta)
+        thetas = np.asarray(trace.theta)       # (chunk, C, D)
         etas = np.asarray(trace.eta)
-        sjds.append(sjd)
-        main_accepts.append(m_acc)
-        hyper_accepts.append(h_acc)
+        sjd_mean = sjd.mean(axis=1)
+        sjds.append(sjd_mean)
+        main_accepts.append(m_acc.mean(axis=1))
+        hyper_accepts.append(h_acc.mean(axis=1))
 
         for j in range(chunk):
             iter_ += 1
             # the reference's first adapter call carries no SJD
             # (paramAdapter.py:216-219): previous_state starts as None
             step_size, leapfrog = adapter.update(
-                None if iter_ == 1 else float(sjd[j]))
+                None if iter_ == 1 else float(sjd_mean[j]))
             step_size = float(np.clip(step_size, 1e-12, None))
 
             if iter_ > config.burnin and iter_ % sampling_step == 0:
@@ -180,14 +223,16 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
             if display_skip and iter_ % display_skip == 0 and verbose:
                 print(f"\niter:{iter_:>2}")
                 print("step size", step_size)
-                print("hyper step size", float(carry.hyper_step))
+                print("hyper step size",
+                      float(np.mean(np.asarray(carry.hyper_step))))
                 print("leapfrog", leapfrog)
-                print("Main acceptance", float(m_acc[j]))
-                print("Hyper acceptance", float(h_acc[j]))
+                print("Main acceptance", float(m_acc[j].mean()))
+                print("Hyper acceptance", float(h_acc[j].mean()))
                 if metric_list:
-                    p = flat.unravel_theta(jnp.asarray(thetas[j]))
+                    p = flat.unravel_theta(jnp.asarray(thetas[j][0]))
                     preds_train = model.apply(p, x_train)
-                    preds_val = (model.apply(p, jnp.asarray(x_validate, dtype))
+                    preds_val = (model.apply(p, jnp.asarray(x_validate,
+                                                            dtype))
                                  if x_validate is not None else preds_train)
                     real_val = (jnp.asarray(y_validate, dtype)
                                 if y_validate is not None else y_train)
@@ -196,21 +241,28 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
                                          y_train, real_val)
                         print(metric.display())
                 msg = likelihood.display(
-                    _lik_hypers_from_eta(flat, etas[j]))
+                    _lik_hypers_from_eta(flat, etas[j][0]))
                 if msg:
                     print(msg)
 
-    # -- stack samples ----------------------------------------------------------
+    # -- stack samples (pooled over chains, chain-major) ------------------------
     if theta_samples:
-        theta_stack = jnp.asarray(np.stack(theta_samples))
-        eta_stack = jnp.asarray(np.stack(eta_samples))
-        param_samples = jax.vmap(flat.unravel_theta)(theta_stack)
+        theta_stack = np.stack(theta_samples)  # (S, C, D)
+        eta_stack = np.stack(eta_samples)
+        s, c, d = theta_stack.shape
+        pooled_theta = jnp.asarray(
+            np.transpose(theta_stack, (1, 0, 2)).reshape(s * c, d))
+        pooled_eta = jnp.asarray(
+            np.transpose(eta_stack, (1, 0, 2)).reshape(s * c, -1))
+        param_samples = jax.tree.map(
+            np.asarray, jax.vmap(flat.unravel_theta)(pooled_theta))
         hyper_samples, lik_hyper_samples = jax.vmap(flat.unravel_eta)(
-            eta_stack)
-        param_samples = jax.tree.map(np.asarray, param_samples)
+            pooled_eta)
         hyper_samples = jax.tree.map(np.asarray, hyper_samples)
         lik_hyper_samples = jax.tree.map(np.asarray, lik_hyper_samples)
     else:
+        theta_stack = np.zeros((0, n_chains, flat.theta.shape[-1]))
+        eta_stack = np.zeros((0, n_chains, flat.eta.shape[-1]))
         param_samples = tuple({} for _ in model.layers)
         hyper_samples = tuple({} for _ in model.layers)
         lik_hyper_samples = {}
@@ -225,7 +277,6 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
         checkpoint.save_samples(
             folder_name, param_samples, hyper_samples, lik_hyper_samples)
 
-    del apply_jit
     return RunResult(
         param_samples=param_samples,
         hyper_samples=hyper_samples,
@@ -237,13 +288,12 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
         else np.zeros(0),
         final_step_size=float(step_size),
         final_leapfrog=int(leapfrog),
-        final_hyper_step=float(carry.hyper_step),
+        final_hyper_step=float(np.mean(np.asarray(carry.hyper_step))),
         n_epochs=iter_,
+        n_chains=n_chains,
         wall_time=time.time() - t_start,
-        theta_samples=(np.stack(theta_samples) if theta_samples
-                       else np.zeros((0,))),
-        eta_samples=(np.stack(eta_samples) if eta_samples
-                     else np.zeros((0,))),
+        theta_samples=theta_stack,
+        eta_samples=eta_stack,
     )
 
 

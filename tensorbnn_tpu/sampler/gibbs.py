@@ -94,7 +94,9 @@ def make_epoch_fn(model: Sequential, likelihood: Likelihood, x, y,
         # -- main block: HMC over params given current hypers ----------------
         main = hmc_step(k_main, carry.theta,
                         lambda th: potentials.main(th, eta),
-                        step_size, leapfrog)
+                        step_size, leapfrog,
+                        value_and_grad_fn=lambda th: potentials.main_vg(
+                            th, eta))
         theta = main.position
 
         # SJD scaled by L^(-1/2) (reference paramAdapter.py:219-222)
@@ -111,7 +113,9 @@ def make_epoch_fn(model: Sequential, likelihood: Likelihood, x, y,
             # -- hyper block: HMC over hypers given new params ---------------
             hyper = hmc_step(k_hyper, eta,
                              lambda e: potentials.hyper(e, theta),
-                             hyper_step, hyper_leapfrog)
+                             hyper_step, hyper_leapfrog,
+                             value_and_grad_fn=lambda e: potentials.hyper_vg(
+                                 e, theta))
             eta = hyper.position
             hyper_accept = hyper.accept_prob
 

@@ -13,6 +13,9 @@ TPU-native kernel:
   ``ravel_pytree``), so every leapfrog update is one fused VPU-friendly
   vector op instead of a tree of tiny kernels, and chains batch cleanly under
   ``vmap`` into ``(chains, D)`` arrays that tile onto the TPU.
+* The gradient oracle is pluggable (``value_and_grad_fn``): data-parallel
+  potentials supply a collective-correct value-and-grad that ``psum``s the
+  likelihood term over the mesh's data axis (see sampler/potential.py).
 * Metropolis accept probability matches the reference's reporting:
   ``min(1, exp(log_accept_ratio))`` (network.py:410-411).
 
@@ -23,7 +26,7 @@ differentiated through the kernel to begin with).
 
 from __future__ import annotations
 
-from typing import Callable, NamedTuple
+from typing import Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -38,7 +41,8 @@ class HMCResult(NamedTuple):
 
 
 def leapfrog(log_prob_fn: Callable, position: jax.Array,
-             momentum: jax.Array, step_size, n_steps) -> tuple:
+             momentum: jax.Array, step_size, n_steps,
+             value_and_grad_fn: Optional[Callable] = None) -> tuple:
     """Runs ``n_steps`` leapfrog steps; ``n_steps`` may be a traced scalar.
 
     Uses the standard half-kick / full-drift formulation: one initial half
@@ -48,9 +52,9 @@ def leapfrog(log_prob_fn: Callable, position: jax.Array,
 
     Returns ``(position, momentum, log_prob, grad)`` at the endpoint.
     """
-    value_and_grad = jax.value_and_grad(log_prob_fn)
+    vg = value_and_grad_fn or jax.value_and_grad(log_prob_fn)
 
-    lp0, g0 = value_and_grad(position)
+    lp0, g0 = vg(position)
     # initial half kick
     momentum = momentum + 0.5 * step_size * g0
 
@@ -61,7 +65,7 @@ def leapfrog(log_prob_fn: Callable, position: jax.Array,
     def body(carry):
         i, q, v, _lp, _g = carry
         q = q + step_size * v
-        lp, g = value_and_grad(q)
+        lp, g = vg(q)
         v = v + step_size * g
         return (i + 1, q, v, lp, g)
 
@@ -73,7 +77,8 @@ def leapfrog(log_prob_fn: Callable, position: jax.Array,
 
 
 def hmc_step(key, position: jax.Array, log_prob_fn: Callable,
-             step_size, n_leapfrog, current_log_prob=None) -> HMCResult:
+             step_size, n_leapfrog, current_log_prob=None,
+             value_and_grad_fn: Optional[Callable] = None) -> HMCResult:
     """One HMC transition on a flat state vector.
 
     Arguments:
@@ -83,6 +88,8 @@ def hmc_step(key, position: jax.Array, log_prob_fn: Callable,
         * step_size: leapfrog step size (traced scalar ok).
         * n_leapfrog: leapfrog step count (traced scalar ok — no recompiles).
         * current_log_prob: optional cached log density at ``position``.
+        * value_and_grad_fn: optional collective-correct (value, grad)
+          oracle; defaults to ``jax.value_and_grad(log_prob_fn)``.
     """
     key_mom, key_mh = jax.random.split(key)
     momentum = jax.random.normal(key_mom, position.shape, position.dtype)
@@ -92,7 +99,8 @@ def hmc_step(key, position: jax.Array, log_prob_fn: Callable,
 
     kinetic0 = 0.5 * jnp.sum(momentum * momentum)
     q_new, v_new, lp_new, _ = leapfrog(
-        log_prob_fn, position, momentum, step_size, n_leapfrog)
+        log_prob_fn, position, momentum, step_size, n_leapfrog,
+        value_and_grad_fn=value_and_grad_fn)
     kinetic1 = 0.5 * jnp.sum(v_new * v_new)
 
     log_accept_ratio = (lp_new - current_log_prob) + (kinetic0 - kinetic1)

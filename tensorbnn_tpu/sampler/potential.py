@@ -3,15 +3,18 @@
 Replaces the closures the reference rebuilds inside its jitted step functions
 (/root/reference/tensorBNN/network.py:370-392 main block, 417-440 hyper block)
 with a single factory that flattens the model's pytrees once and returns two
-pure ``f(flat_vector) -> scalar`` targets, ready for ``jax.grad`` inside the
-HMC kernel.
+pure targets, each exposing both ``f(z) -> scalar`` and an explicit
+``value_and_grad`` — the quantity the leapfrog loop actually consumes.
 
 Data-parallel likelihoods: pass ``axis_name`` when the target runs inside a
-``shard_map`` whose mesh axis shards the data batch — the likelihood term
-(and, through ``jax.grad``, its gradient) is ``psum``'d over that axis while
-the prior terms are computed on replicated state. This is the build's
-NCCL-equivalent (SURVEY.md #2.2): collectives authored via ``jax.lax.psum``
-and compiled by XLA onto the ICI.
+``shard_map`` whose mesh axis shards the data batch. The likelihood *value
+and gradient* are computed on the local shard and ``psum``'d together in one
+fused collective, while the prior terms are computed on replicated state.
+This is deliberate: differentiating *through* a ``psum`` under
+``shard_map(check_rep=False)`` does not re-sum the cotangent across shards,
+so the gradient must be summed explicitly. One psum of the (value, grad)
+tuple per leapfrog step is also the minimal-traffic layout — a single fused
+all-reduce over the ICI (SURVEY.md #2.2).
 """
 
 from __future__ import annotations
@@ -30,7 +33,7 @@ from tensorbnn_tpu.models.sequential import Sequential
 class FlatModelState(NamedTuple):
     """Flat vectors plus the static unflatten closures."""
     theta: jax.Array                 # flat main-chain state (params)
-    eta: jax.Array                   # flat hyper-chain state (hypers incl. likelihood's)
+    eta: jax.Array                   # flat hyper-chain state
     unravel_theta: Callable
     unravel_eta: Callable
 
@@ -48,6 +51,31 @@ class Potentials(NamedTuple):
     #: log_post_hyper(eta, theta) -> scalar: hyperpriors (+ likelihood when
     #: the likelihood's hypers couple in, reference network.py:435-438)
     hyper: Callable
+    #: main_vg(theta, eta) -> (value, grad wrt theta), collective-correct
+    main_vg: Callable
+    #: hyper_vg(eta, theta) -> (value, grad wrt eta)
+    hyper_vg: Callable
+
+
+def _combine(local_fn: Callable, rep_fn: Callable,
+             axis_name: Optional[str]):
+    """Builds value and value_and_grad for ``rep_fn(z) + sum_shards
+    local_fn(z)``, differentiating each part separately so the collective
+    sums both the value and the gradient."""
+
+    def value(z, other):
+        v = rep_fn(z, other) + (lax.psum(local_fn(z, other), axis_name)
+                                if axis_name else local_fn(z, other))
+        return v
+
+    def value_and_grad(z, other):
+        lv, lg = jax.value_and_grad(local_fn)(z, other)
+        if axis_name:
+            lv, lg = lax.psum((lv, lg), axis_name)
+        rv, rg = jax.value_and_grad(rep_fn)(z, other)
+        return lv + rv, lg + rg
+
+    return value, value_and_grad
 
 
 def make_potentials(model: Sequential, likelihood: Likelihood,
@@ -56,30 +84,40 @@ def make_potentials(model: Sequential, likelihood: Likelihood,
                     axis_name: Optional[str] = None) -> Potentials:
     """Builds the two log-posterior targets over flat vectors.
 
-    ``x`` and ``y`` are closed over (they are device-resident constants for
-    the whole run, like the reference's ``self.trainX`` — network.py:41-51).
-    With ``axis_name`` set, ``x``/``y`` are the *local shards* and the
-    likelihood sum is a cross-device ``psum``.
+    ``x`` and ``y`` are closed over (device-resident constants for the whole
+    run, like the reference's ``self.trainX`` — network.py:41-51). With
+    ``axis_name`` set they are the *local shards*.
     """
 
-    def _loglik(params, lik_hypers):
+    def loglik_main(theta, eta):
+        params = unravel_theta(theta)
+        _, lik_hypers = unravel_eta(eta)
         preds = model.apply(params, x)
-        ll = likelihood.log_likelihood(preds, y, lik_hypers)
-        if axis_name is not None:
-            ll = lax.psum(ll, axis_name)
-        return ll
+        return likelihood.log_likelihood(preds, y, lik_hypers)
 
-    def log_post_main(theta, eta):
+    def prior_main(theta, eta):
         params = unravel_theta(theta)
-        hypers, lik_hypers = unravel_eta(eta)
-        return model.log_prior(hypers, params) + _loglik(params, lik_hypers)
+        hypers, _ = unravel_eta(eta)
+        return model.log_prior(hypers, params)
 
-    def log_post_hyper(eta, theta):
+    main, main_vg = _combine(loglik_main, prior_main, axis_name)
+
+    def hyper_rep(eta, theta):
         params = unravel_theta(theta)
-        hypers, lik_hypers = unravel_eta(eta)
-        lp = model.log_hyper_prior(hypers, params)
-        if likelihood.main_probs_in_hypers:
-            lp = lp + _loglik(params, lik_hypers)
-        return lp
+        hypers, _ = unravel_eta(eta)
+        return model.log_hyper_prior(hypers, params)
 
-    return Potentials(log_post_main, log_post_hyper)
+    if likelihood.main_probs_in_hypers:
+        def hyper_local(eta, theta):
+            params = unravel_theta(theta)
+            _, lik_hypers = unravel_eta(eta)
+            preds = model.apply(params, x)
+            return likelihood.log_likelihood(preds, y, lik_hypers)
+    else:
+        def hyper_local(eta, theta):
+            del theta
+            return jnp.zeros((), eta.dtype)
+
+    hyper, hyper_vg = _combine(hyper_local, hyper_rep, axis_name)
+
+    return Potentials(main, hyper, main_vg, hyper_vg)

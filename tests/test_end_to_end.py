@@ -51,7 +51,7 @@ def test_run_produces_finite_samples(small_run):
     net, result, folder, *_ = small_run
     assert result.n_epochs == 180
     # (180 - 60) / 4 = 30 sampled networks
-    assert result.theta_samples.shape[0] == 30
+    assert result.theta_samples.shape[:2] == (30, 1)  # (S, chains, D)
     assert np.isfinite(result.theta_samples).all()
     assert np.isfinite(result.sjd).all()
     assert 0 < result.main_accept.mean() <= 1.0
@@ -167,7 +167,7 @@ def test_learned_noise_likelihood_runs():
                    hyper_leapfrog=10, random_steps=2)
     res = net.train(60, 4, GaussianLikelihood(sd=0.1), display_skip=0,
                     verbose=False)
-    assert res.eta_samples.shape[1] == 2 * 4 + 1  # 2 layers x 4 + noise
+    assert res.eta_samples.shape[-1] == 2 * 4 + 1  # 2 layers x 4 + noise
     assert np.isfinite(res.eta_samples).all()
     # the learned noise hyper should have moved off its sqrt(0.1) init
-    assert np.std(res.eta_samples[:, -1]) > 0
+    assert np.std(res.eta_samples[:, 0, -1]) > 0
