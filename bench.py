@@ -1,0 +1,116 @@
+"""Headline benchmark: main-chain leapfrog steps/sec/chip.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+Configuration: the reference's bundled regression example (SURVEY.md #6 —
+the operative baseline config), i.e. a 3x10 tanh MLP over the 11-point trig
+dataset with the two-block sampler (hyper chain included), with the chain
+axis widened to 64 vmapped chains — the BASELINE.json "wide chain" scaling
+axis a TPU chip is built for. The metric counts *main-chain leapfrog
+position updates across all chains per second*; hyper-chain leapfrog work is
+included in the wall clock but not the count (conservative).
+
+``vs_baseline``: the TensorFlow reference cannot run here (no
+tensorflow_probability in the image), so the baseline is an *emulation of
+the reference's execution pattern on the same chip*: a single chain,
+one device dispatch per epoch with a host synchronization between epochs
+(SURVEY.md #3.1 — the reference crosses the Python<->XLA boundary every
+epoch and runs its GP adapter eagerly on host). This is generous to the
+reference: it pays no TF overhead, no retrace on leapfrog changes (the
+reference retraces whenever L changes), and no eager GP algebra.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    import __graft_entry__ as graft
+    from tensorbnn_tpu.parallel.chains import (
+        init_multichain_state,
+        make_multichain_chunk_runner,
+    )
+
+    model, likelihood, flat, x, y = graft._flagship()
+    backend = jax.default_backend()
+    log(f"backend: {backend}, devices: {jax.devices()}")
+
+    leapfrog = 100
+    hyper_leapfrog = 100
+    step_size = 1e-3
+
+    def make_runner():
+        return make_multichain_chunk_runner(
+            model, likelihood, x, y, flat.unravel_theta, flat.unravel_eta,
+            adjust_hypers=True, hyper_leapfrog=hyper_leapfrog,
+            burnin=1000.0, hyper_step_size_init=1e-3, mesh=None,
+            donate=False)
+
+    run = make_runner()
+    eps = jnp.asarray(step_size, jnp.float32)
+    L = jnp.asarray(leapfrog, jnp.int32)
+
+    # -- ours: 64 vmapped chains, one dispatch per adapter cycle --------------
+    n_chains = 64
+    chunk = 10  # the reference example's averaging_steps (one GP cycle)
+    carry = init_multichain_state(flat.theta, flat.eta, jax.random.key(0),
+                                  1e-3, n_chains, jitter=0.01)
+    # warmup/compile
+    carry, _ = run(carry, x, y, eps, L, chunk)
+    jax.block_until_ready(carry.theta)
+
+    n_chunks = 5
+    t0 = time.perf_counter()
+    for _ in range(n_chunks):
+        carry, trace = run(carry, x, y, eps, L, chunk)
+    jax.block_until_ready(carry.theta)
+    dt = time.perf_counter() - t0
+    ours_steps = n_chunks * chunk * leapfrog * n_chains
+    ours_rate = ours_steps / dt
+    acc = float(np.asarray(trace.main_accept).mean())
+    log(f"ours: {ours_steps} leapfrog steps in {dt:.3f}s -> "
+        f"{ours_rate:,.0f} steps/sec ({n_chains} chains, "
+        f"mean accept {acc:.3f})")
+
+    # -- baseline emulation: single chain, dispatch + host sync per epoch -----
+    carry_b = init_multichain_state(flat.theta, flat.eta, jax.random.key(1),
+                                    1e-3, 1)
+    carry_b, _ = run(carry_b, x, y, eps, L, 1)  # compile 1-epoch program
+    jax.block_until_ready(carry_b.theta)
+
+    n_epochs_b = 20
+    t0 = time.perf_counter()
+    for _ in range(n_epochs_b):
+        carry_b, trace_b = run(carry_b, x, y, eps, L, 1)
+        # reference behavior: host consumes per-epoch results eagerly
+        float(np.asarray(trace_b.sjd).mean())
+    jax.block_until_ready(carry_b.theta)
+    dt_b = time.perf_counter() - t0
+    base_steps = n_epochs_b * leapfrog
+    base_rate = base_steps / dt_b
+    log(f"baseline emulation: {base_steps} steps in {dt_b:.3f}s -> "
+        f"{base_rate:,.0f} steps/sec (single chain, per-epoch dispatch)")
+
+    print(json.dumps({
+        "metric": "main-chain leapfrog steps/sec/chip (3x10-tanh MLP, "
+                  "two-block sampler, 64 vmapped chains vs single-chain "
+                  "per-epoch-dispatch reference emulation)",
+        "value": round(ours_rate, 1),
+        "unit": "leapfrog steps/sec",
+        "vs_baseline": round(ours_rate / base_rate, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -136,6 +136,8 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
                      n_chains: int = 1,
                      chain_jitter: float = 0.0,
                      mesh=None,
+                     checkpoint_dir: Optional[str] = None,
+                     checkpoint_every: int = 0,
                      verbose: bool = True) -> RunResult:
     """Runs the two-block adaptive HMC sampler.
 
@@ -144,8 +146,12 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
     recorded every ``sampling_step`` epochs after ``config.burnin``;
     ``display_skip`` controls metric printing (0 disables). New vs. the
     reference: ``n_chains`` parallel chains (vmapped; sharded over
-    ``mesh``'s chain axis when given) and a data-parallel likelihood over
-    the mesh's data axis.
+    ``mesh``'s chain axis when given), a data-parallel likelihood over the
+    mesh's data axis, and true mid-chain resume — with ``checkpoint_dir``
+    set, the full sampler state (device carry, adapter, RNG, collected
+    samples) is persisted every ``checkpoint_every`` chunks and a fresh call
+    continues exactly where the interrupted run stopped (the reference can
+    only persist samples, SURVEY.md #5).
     """
     t_start = time.time()
     x_train = jnp.asarray(x_train, dtype)
@@ -190,6 +196,56 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
     hyper_accepts: List[np.ndarray] = []
 
     iter_ = 0  # completed epochs, reference 1-based bookkeeping
+
+    # -- resume from a checkpoint if one exists ---------------------------------
+    resumed = checkpoint.load_resume(checkpoint_dir) if checkpoint_dir \
+        else None
+    if resumed is not None:
+        arrays, host = resumed
+        from tensorbnn_tpu.sampler.gibbs import ChainState
+        key_restored = jax.random.wrap_key_data(
+            jnp.asarray(arrays["key"]))
+        carry = ChainState(
+            theta=jnp.asarray(arrays["theta"], dtype),
+            eta=jnp.asarray(arrays["eta"], dtype),
+            key=key_restored,
+            hyper_step=jnp.asarray(arrays["hyper_step"], dtype),
+            log_eps_bar=jnp.asarray(arrays["log_eps_bar"], dtype),
+            h=jnp.asarray(arrays["h"], dtype),
+            epoch=jnp.asarray(arrays["epoch"], dtype))
+        if mesh is not None:
+            carry = jax.device_put(carry, chain_sharding(mesh))
+        adapter.load_state_dict(host["adapter"])
+        iter_ = int(host["iter"])
+        step_size = float(host["step_size"])
+        leapfrog = int(host["leapfrog"])
+        theta_samples = [a for a in arrays.get(
+            "theta_samples", np.zeros((0, 1, 1)))]
+        eta_samples = [a for a in arrays.get(
+            "eta_samples", np.zeros((0, 1, 1)))]
+        if verbose:
+            print(f"resumed from {checkpoint_dir} at epoch {iter_}")
+
+    def _save_checkpoint():
+        arrays = {
+            "theta": np.asarray(carry.theta),
+            "eta": np.asarray(carry.eta),
+            "key": np.asarray(jax.random.key_data(carry.key)),
+            "hyper_step": np.asarray(carry.hyper_step),
+            "log_eps_bar": np.asarray(carry.log_eps_bar),
+            "h": np.asarray(carry.h),
+            "epoch": np.asarray(carry.epoch),
+        }
+        if theta_samples:
+            arrays["theta_samples"] = np.stack(theta_samples)
+            arrays["eta_samples"] = np.stack(eta_samples)
+        checkpoint.save_resume(
+            checkpoint_dir,
+            carry_arrays=arrays,
+            host_state={"adapter": adapter.state_dict(), "iter": iter_,
+                        "step_size": step_size, "leapfrog": int(leapfrog)})
+
+    chunks_done = 0
     while iter_ < epochs:
         chunk = min(adapter.epochs_until_next_change(), epochs - iter_)
         carry, trace = run_chunk(
@@ -244,6 +300,14 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
                     _lik_hypers_from_eta(flat, etas[j][0]))
                 if msg:
                     print(msg)
+
+        chunks_done += 1
+        if checkpoint_dir and checkpoint_every and \
+                chunks_done % checkpoint_every == 0:
+            _save_checkpoint()
+
+    if checkpoint_dir:
+        _save_checkpoint()
 
     # -- stack samples (pooled over chains, chain-major) ------------------------
     if theta_samples:
