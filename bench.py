@@ -68,13 +68,15 @@ def main():
                                   1e-3, n_chains, jitter=0.01)
     # warmup/compile
     carry, _ = run(carry, x, y, eps, L, chunk)
-    jax.block_until_ready(carry.theta)
+    float(np.asarray(carry.theta).sum())
 
     n_chunks = 5
     t0 = time.perf_counter()
     for _ in range(n_chunks):
         carry, trace = run(carry, x, y, eps, L, chunk)
-    jax.block_until_ready(carry.theta)
+    # materialize: block_until_ready alone under-reports through the
+    # remote-TPU tunnel (returns before the computation drains)
+    float(np.asarray(carry.theta).sum())
     dt = time.perf_counter() - t0
     ours_steps = n_chunks * chunk * leapfrog * n_chains
     ours_rate = ours_steps / dt
@@ -87,7 +89,7 @@ def main():
     carry_b = init_multichain_state(flat.theta, flat.eta, jax.random.key(1),
                                     1e-3, 1)
     carry_b, _ = run(carry_b, x, y, eps, L, 1)  # compile 1-epoch program
-    jax.block_until_ready(carry_b.theta)
+    float(np.asarray(carry_b.theta).sum())
 
     n_epochs_b = 20
     t0 = time.perf_counter()
@@ -95,7 +97,7 @@ def main():
         carry_b, trace_b = run(carry_b, x, y, eps, L, 1)
         # reference behavior: host consumes per-epoch results eagerly
         float(np.asarray(trace_b.sjd).mean())
-    jax.block_until_ready(carry_b.theta)
+    float(np.asarray(carry_b.theta).sum())
     dt_b = time.perf_counter() - t0
     base_steps = n_epochs_b * leapfrog
     base_rate = base_steps / dt_b
