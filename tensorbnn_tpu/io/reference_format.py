@@ -28,6 +28,7 @@ from typing import List, Sequence, Tuple
 
 import numpy as np
 
+from tensorbnn_tpu.io import fast_text
 from tensorbnn_tpu.likelihoods import Likelihood
 from tensorbnn_tpu.models.sequential import Sequential
 
@@ -130,16 +131,15 @@ def load_run(path: str) -> Tuple[List[str], List[np.ndarray], np.ndarray]:
         cols = dims[1] if len(dims) == 2 else 1
         chunks = []
         for m in range(num_files):
-            flat = np.loadtxt(os.path.join(path, f"{n}.{m}.txt"),
-                              dtype=np.float32, ndmin=2)
+            flat = fast_text.load_floats(os.path.join(path, f"{n}.{m}.txt"))
             chunks.append(flat.reshape(per_file, rows, cols))
         matrices.append(np.concatenate(chunks, axis=0))
 
     if num_hypers > 0:
         hyper_chunks = []
         for m in range(num_files):
-            flat = np.loadtxt(os.path.join(path, f"hypers{m}.txt"),
-                              dtype=np.float32, ndmin=1)
+            flat = fast_text.load_floats(
+                os.path.join(path, f"hypers{m}.txt"))
             hyper_chunks.append(flat.reshape(per_file, num_hypers))
         hypers = np.concatenate(hyper_chunks, axis=0)
     else:

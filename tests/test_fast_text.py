@@ -1,0 +1,53 @@
+"""Native text-parser tests: correctness vs np.loadtxt + speed sanity."""
+
+import time
+
+import numpy as np
+
+from tensorbnn_tpu.io import fast_text
+
+
+def test_native_builds_and_loads():
+    assert fast_text.native_available(), "g++ build of fast_text failed"
+
+
+def test_matches_loadtxt(tmp_path):
+    rng = np.random.default_rng(0)
+    data = rng.normal(size=(500, 7)).astype(np.float32)
+    p = str(tmp_path / "vals.txt")
+    with open(p, "wb") as f:
+        np.savetxt(f, data)
+    got = fast_text.load_floats(p)
+    want = np.loadtxt(p, dtype=np.float32).reshape(-1)
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_scientific_notation_and_blank_lines(tmp_path):
+    p = str(tmp_path / "mixed.txt")
+    with open(p, "w") as f:
+        f.write("1.5e-3  -2.25E+2\n\n  7\n-0.5\n")
+    got = fast_text.load_floats(p)
+    np.testing.assert_allclose(got, [1.5e-3, -225.0, 7.0, -0.5], rtol=1e-6)
+
+
+def test_missing_file_raises(tmp_path):
+    import pytest
+    with pytest.raises(FileNotFoundError):
+        fast_text.load_floats(str(tmp_path / "nope.txt"))
+
+
+def test_faster_than_loadtxt(tmp_path):
+    if not fast_text.native_available():
+        return
+    rng = np.random.default_rng(1)
+    data = rng.normal(size=(20000, 10))
+    p = str(tmp_path / "big.txt")
+    with open(p, "wb") as f:
+        np.savetxt(f, data)
+    t0 = time.perf_counter()
+    fast_text.load_floats(p)
+    t_native = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    np.loadtxt(p)
+    t_numpy = time.perf_counter() - t0
+    assert t_native < t_numpy, (t_native, t_numpy)
