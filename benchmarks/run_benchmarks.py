@@ -1,0 +1,150 @@
+"""Benchmark suite for the BASELINE.json configurations.
+
+Each benchmark prints one JSON line. The repo-root ``bench.py`` is the
+headline (trainRegression config); this suite covers the scale-out configs:
+
+* ``wide_deep``  — 10 layers x 256 MLP, 64 vmapped chains on one chip
+  (BASELINE.json config 4); reports leapfrog steps/sec and effective
+  TFLOP/s through the MXU.
+* ``surrogate``  — 1M-point synthetic detector-response regression,
+  full-batch likelihood (BASELINE.json config 5); single-chip here, the
+  data-parallel multi-chip path is exercised by ``__graft_entry__.
+  dryrun_multichip`` and tests/test_parallel.py.
+
+Usage: python benchmarks/run_benchmarks.py [wide_deep|surrogate|all]
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def _bench_sampler(model, x, y, *, n_chains, leapfrog, hyper_leapfrog,
+                   chunk, n_chunks, seed=0, jitter=0.01, step_size=1e-4):
+    import jax
+    import jax.numpy as jnp
+
+    from tensorbnn_tpu import GaussianLikelihood
+    from tensorbnn_tpu.parallel.chains import (
+        init_multichain_state,
+        make_multichain_chunk_runner,
+    )
+    from tensorbnn_tpu.sampler.potential import flatten_state
+
+    likelihood = GaussianLikelihood(sd=0.1)
+    params, hypers = model.init(jax.random.key(seed))
+    flat = flatten_state(params, hypers, likelihood.init_hypers())
+
+    run = make_multichain_chunk_runner(
+        model, likelihood, x, y, flat.unravel_theta, flat.unravel_eta,
+        adjust_hypers=True, hyper_leapfrog=hyper_leapfrog, burnin=1e9,
+        hyper_step_size_init=1e-4, mesh=None, donate=False)
+
+    carry = init_multichain_state(flat.theta, flat.eta,
+                                  jax.random.key(seed + 1), 1e-4,
+                                  n_chains, jitter=jitter)
+    eps = jnp.asarray(step_size, jnp.float32)
+    L = jnp.asarray(leapfrog, jnp.int32)
+
+    carry, _ = run(carry, x, y, eps, L, chunk)       # compile
+    float(np.asarray(carry.theta).sum())             # materialize
+
+    t0 = time.perf_counter()
+    for _ in range(n_chunks):
+        carry, trace = run(carry, x, y, eps, L, chunk)
+    float(np.asarray(carry.theta).sum())
+    dt = time.perf_counter() - t0
+    steps = n_chunks * chunk * leapfrog * n_chains
+    acc = float(np.asarray(trace.main_accept).mean())
+    return steps, dt, acc, flat.theta.size
+
+
+def bench_wide_deep():
+    import jax
+    from tensorbnn_tpu import GaussianDenseLayer, Tanh
+    from tensorbnn_tpu.models.sequential import Sequential
+
+    width, depth, batch, n_chains = 256, 10, 128, 64
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(batch, width)).astype(np.float32)
+    y = rng.normal(size=(batch, 1)).astype(np.float32)
+
+    layers = []
+    for i in range(depth - 1):
+        layers += [GaussianDenseLayer(width, width), Tanh()]
+    layers += [GaussianDenseLayer(width, 1)]
+    model = Sequential(layers)
+
+    leapfrog = 20
+    steps, dt, acc, n_params = _bench_sampler(
+        model, x, y, n_chains=n_chains, leapfrog=leapfrog,
+        hyper_leapfrog=5, chunk=5, n_chunks=3, step_size=1e-5)
+
+    rate = steps / dt
+    # forward ~2*B*W^2 per hidden layer; grad ~3x forward
+    flops_per_step = 6 * batch * width * width * (depth - 1) * n_chains
+    tflops = flops_per_step * (steps / n_chains) / dt / 1e12
+    log(f"wide_deep: {steps} steps in {dt:.2f}s, accept {acc:.3f}, "
+        f"{n_params} params/chain, ~{tflops:.2f} TFLOP/s")
+    print(json.dumps({
+        "metric": "wide_deep leapfrog steps/sec/chip "
+                  "(10x256 MLP, 64 chains)",
+        "value": round(rate, 1),
+        "unit": "leapfrog steps/sec",
+        "approx_tflops": round(tflops, 2),
+        "mean_accept": round(acc, 4),
+    }))
+
+
+def bench_surrogate():
+    import jax
+    from tensorbnn_tpu import GaussianDenseLayer, Relu, Tanh
+    from tensorbnn_tpu.models.sequential import Sequential
+
+    n_points, d_in, width = 1_000_000, 8, 64
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(n_points, d_in)).astype(np.float32)
+    y = np.sin(x.sum(axis=1)).astype(np.float32)
+
+    model = Sequential([
+        GaussianDenseLayer(d_in, width), Tanh(),
+        GaussianDenseLayer(width, width), Tanh(),
+        GaussianDenseLayer(width, 1),
+    ])
+
+    leapfrog = 10
+    steps, dt, acc, n_params = _bench_sampler(
+        model, x, y, n_chains=1, leapfrog=leapfrog, hyper_leapfrog=2,
+        chunk=2, n_chunks=3, jitter=0.0, step_size=1e-6)
+
+    rate = steps / dt
+    grad_evals_per_sec = rate  # 1 chain: steps == grad evals
+    points_per_sec = grad_evals_per_sec * n_points
+    log(f"surrogate: {steps} full-batch leapfrog steps over 1M points in "
+        f"{dt:.2f}s, accept {acc:.3f}")
+    print(json.dumps({
+        "metric": "surrogate full-data leapfrog steps/sec "
+                  "(1M-point likelihood, single chip)",
+        "value": round(rate, 2),
+        "unit": "leapfrog steps/sec",
+        "likelihood_point_grads_per_sec": round(points_per_sec, 0),
+        "mean_accept": round(acc, 4),
+    }))
+
+
+def main():
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    if which in ("wide_deep", "all"):
+        bench_wide_deep()
+    if which in ("surrogate", "all"):
+        bench_surrogate()
+
+
+if __name__ == "__main__":
+    main()

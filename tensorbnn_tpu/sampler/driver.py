@@ -138,6 +138,7 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
                      mesh=None,
                      checkpoint_dir: Optional[str] = None,
                      checkpoint_every: int = 0,
+                     tracer=None,
                      verbose: bool = True) -> RunResult:
     """Runs the two-block adaptive HMC sampler.
 
@@ -248,6 +249,8 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
     chunks_done = 0
     while iter_ < epochs:
         chunk = min(adapter.epochs_until_next_change(), epochs - iter_)
+        if tracer is not None:
+            tracer.start_chunk()
         carry, trace = run_chunk(
             carry, x_train, y_train,
             jnp.asarray(step_size, dtype),
@@ -255,6 +258,8 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
             chunk)
 
         sjd = np.asarray(trace.sjd)            # (chunk, C)
+        if tracer is not None:
+            tracer.end_chunk(chunk, int(leapfrog), n_chains)
         m_acc = np.asarray(trace.main_accept)  # (chunk, C)
         h_acc = np.asarray(trace.hyper_accept)
         thetas = np.asarray(trace.theta)       # (chunk, C, D)
