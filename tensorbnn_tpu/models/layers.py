@@ -114,6 +114,27 @@ def _he_like_init(key, in_dim, out_dim, dtype):
     return w, b
 
 
+class _DenseCompute:
+    """Shared dense forward pass with an optional reduced-precision matmul.
+
+    With ``compute_dtype="bfloat16"`` the matmul inputs are cast to bf16 and
+    accumulated in f32 (``preferred_element_type``) — the MXU's native mode
+    on TPU, ~4x the fp32-emulation throughput. The log posterior then *is*
+    the bf16-forward density: MH acceptance stays exact for that (slightly
+    perturbed) target, so chains remain valid draws; default is full f32 for
+    bitwise-stable parity runs.
+    """
+
+    def _dense_apply(self, params, x):
+        cd = getattr(self, "compute_dtype", None)
+        if cd is not None:
+            dt = jnp.dtype(cd)
+            y = jnp.dot(x.astype(dt), params["w"].astype(dt),
+                        preferred_element_type=jnp.float32)
+            return y + params["b"]
+        return x @ params["w"] + params["b"]
+
+
 class _DenseRefIO:
     """Reference-format conversions shared by both dense layers.
 
@@ -145,7 +166,7 @@ class _DenseRefIO:
 
 
 @dataclasses.dataclass(frozen=True)
-class GaussianDenseLayer(_DenseRefIO, LayerSpec):
+class GaussianDenseLayer(_DenseCompute, _DenseRefIO, LayerSpec):
     """Dense layer with Gaussian priors on weights and biases.
 
     Re-implements the behavior of the reference ``GaussianDenseLayer``
@@ -161,6 +182,7 @@ class GaussianDenseLayer(_DenseRefIO, LayerSpec):
     name: str = "denseGaussian"
     n_ref_param_tensors: int = 2
     n_ref_hyper_scalars: int = 4
+    compute_dtype: str = None  # e.g. "bfloat16" for MXU-native matmuls
 
     def init(self, key, dtype=jnp.float32):
         w, b = _he_like_init(key, self.in_dim, self.out_dim, dtype)
@@ -174,7 +196,7 @@ class GaussianDenseLayer(_DenseRefIO, LayerSpec):
         return params, hypers
 
     def apply(self, params, x):
-        return x @ params["w"] + params["b"]
+        return self._dense_apply(params, x)
 
     def log_prior(self, hypers, params):
         w_sd = hypers["w_scale"] ** 2
@@ -193,7 +215,7 @@ class GaussianDenseLayer(_DenseRefIO, LayerSpec):
 
 
 @dataclasses.dataclass(frozen=True)
-class CauchyDenseLayer(_DenseRefIO, LayerSpec):
+class CauchyDenseLayer(_DenseCompute, _DenseRefIO, LayerSpec):
     """Dense layer with Cauchy priors (the reference's default ``DenseLayer``).
 
     Re-implements reference ``CauchyDenseLayer`` (layer.py:101-279): gamma =
@@ -209,6 +231,7 @@ class CauchyDenseLayer(_DenseRefIO, LayerSpec):
     name: str = "dense"
     n_ref_param_tensors: int = 2
     n_ref_hyper_scalars: int = 4
+    compute_dtype: str = None  # e.g. "bfloat16" for MXU-native matmuls
 
     def _cauchy(self, gamma, x0, x):
         fn = cauchy_logprob if self.proper else cauchy_logprob_compat
@@ -227,7 +250,7 @@ class CauchyDenseLayer(_DenseRefIO, LayerSpec):
         return params, hypers
 
     def apply(self, params, x):
-        return x @ params["w"] + params["b"]
+        return self._dense_apply(params, x)
 
     def log_prior(self, hypers, params):
         w_gamma = hypers["w_scale"] ** 2

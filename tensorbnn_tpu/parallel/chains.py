@@ -70,7 +70,8 @@ def make_multichain_chunk_runner(model: Sequential, likelihood: Likelihood,
                                  burnin: float,
                                  hyper_step_size_init: float,
                                  mesh: Optional[Mesh] = None,
-                                 donate: bool = True):
+                                 donate: bool = True,
+                                 batched_main_vg=None):
     """Builds ``run_chunk(carry, x, y, step_size, leapfrog, n_epochs)`` over
     batched chains.
 
@@ -92,11 +93,11 @@ def make_multichain_chunk_runner(model: Sequential, likelihood: Likelihood,
                 unravel_theta, unravel_eta,
                 adjust_hypers=adjust_hypers,
                 hyper_leapfrog=hyper_leapfrog,
-                burnin=burnin, mu=mu, axis_name=axis_name)
-            vmapped = jax.vmap(epoch_fn, in_axes=(0, None, None))
+                burnin=burnin, mu=mu, axis_name=axis_name,
+                batched_main_vg=batched_main_vg)
 
             def step(c, _):
-                return vmapped(c, step_size, leapfrog)
+                return epoch_fn(c, step_size, leapfrog)
 
             return lax.scan(step, carry, xs=None, length=n_epochs)
         return body

@@ -10,6 +10,12 @@ stay device-resident. Squared-jumping distances for the GP-UCB adapter are
 computed in the scan and returned as a per-epoch vector, so the host adapter
 (:mod:`tensorbnn_tpu.sampler.adapter`) replays them with zero extra traffic.
 
+The epoch step is *natively chain-batched*: every carry leaf has a leading
+chain axis and the HMC kernel runs on the whole ``(C, D)`` block as fused
+vector ops (``hmc_step_batched``). This keeps the value-and-grad oracle
+batched too — the shape a fused Pallas potential kernel consumes — instead
+of hiding the chain axis under ``vmap``.
+
 The step size and leapfrog count enter as *traced* scalars: changing them
 between chunks never recompiles (the reference retraces on every leapfrog
 change, SURVEY.md #7 hard part 1).
@@ -17,17 +23,14 @@ change, SURVEY.md #7 hard part 1).
 
 from __future__ import annotations
 
-import functools
-import math
-from typing import NamedTuple, Optional
+from typing import Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
-from jax import lax
 
 from tensorbnn_tpu.likelihoods import Likelihood
 from tensorbnn_tpu.models.sequential import Sequential
-from tensorbnn_tpu.sampler.hmc import hmc_step
+from tensorbnn_tpu.sampler.hmc import hmc_step_batched
 from tensorbnn_tpu.sampler.potential import make_potentials
 
 # Dual-averaging constants, matching reference network.py:241-248.
@@ -38,37 +41,24 @@ DA_KAPPA = 0.75
 
 
 class ChainState(NamedTuple):
-    """Device-resident carry of the epoch scan."""
-    theta: jax.Array         # flat main-chain state (params), (D,)
-    eta: jax.Array           # flat hyper-chain state, (H,)
-    key: jax.Array           # PRNG key
-    hyper_step: jax.Array    # current hyper-chain step size
-    log_eps_bar: jax.Array   # dual-averaging log step average
-    h: jax.Array             # dual-averaging error accumulator
-    epoch: jax.Array         # global epoch counter (float, 0-based)
+    """Device-resident carry of the epoch scan. All leaves have a leading
+    chain axis C."""
+    theta: jax.Array         # flat main-chain states, (C, D)
+    eta: jax.Array           # flat hyper-chain states, (C, H)
+    key: jax.Array           # per-chain PRNG keys, (C,)
+    hyper_step: jax.Array    # per-chain hyper step sizes, (C,)
+    log_eps_bar: jax.Array   # dual-averaging log step average, (C,)
+    h: jax.Array             # dual-averaging error accumulator, (C,)
+    epoch: jax.Array         # global epoch counter (float), (C,)
 
 
 class EpochTrace(NamedTuple):
-    """Per-epoch scan outputs."""
-    theta: jax.Array         # state after the epoch, (n_epochs, D)
-    eta: jax.Array           # hyper state after the epoch, (n_epochs, H)
-    sjd: jax.Array           # squared jumping distance / sqrt(L)
-    main_accept: jax.Array   # main-chain accept probability
-    hyper_accept: jax.Array  # hyper-chain accept probability
-
-
-def init_chain_state(theta, eta, key, hyper_step_size,
-                     dtype=jnp.float32) -> ChainState:
-    zero = jnp.asarray(0.0, dtype)
-    return ChainState(
-        theta=jnp.asarray(theta, dtype),
-        eta=jnp.asarray(eta, dtype),
-        key=key,
-        hyper_step=jnp.asarray(hyper_step_size, dtype),
-        log_eps_bar=zero,
-        h=zero,
-        epoch=zero,
-    )
+    """Per-epoch scan outputs (per chain)."""
+    theta: jax.Array         # (n_epochs, C, D)
+    eta: jax.Array           # (n_epochs, C, H)
+    sjd: jax.Array           # (n_epochs, C)
+    main_accept: jax.Array   # (n_epochs, C)
+    hyper_accept: jax.Array  # (n_epochs, C)
 
 
 def make_epoch_fn(model: Sequential, likelihood: Likelihood, x, y,
@@ -77,49 +67,54 @@ def make_epoch_fn(model: Sequential, likelihood: Likelihood, x, y,
                   hyper_leapfrog: int,
                   burnin: float,
                   mu: float,
-                  axis_name: Optional[str] = None):
-    """Builds ``epoch_fn(carry, step_size, leapfrog) -> (carry, trace_row)``.
+                  axis_name: Optional[str] = None,
+                  batched_main_vg: Optional[Callable] = None):
+    """Builds ``epoch_fn(carry, step_size, leapfrog) -> (carry, trace_row)``
+    over a chain-batched carry.
 
     ``mu`` is the dual-averaging anchor log(100 * initial hyper step size)
-    (reference network.py:248).
+    (reference network.py:248). ``batched_main_vg`` optionally overrides the
+    main-block value-and-grad with a natively batched oracle (e.g. a fused
+    Pallas kernel): ``f(thetas (C, D), etas (C, H)) -> ((C,), (C, D))``.
     """
     potentials = make_potentials(model, likelihood, x, y,
                                  unravel_theta, unravel_eta,
                                  axis_name=axis_name)
+    main_vg_b = batched_main_vg or jax.vmap(potentials.main_vg)
+    hyper_vg_b = jax.vmap(potentials.hyper_vg)
 
     def epoch_fn(carry: ChainState, step_size, leapfrog):
-        key, k_main, k_hyper = jax.random.split(carry.key, 3)
+        keys2 = jax.vmap(lambda k: jax.random.split(k, 3))(carry.key)
+        key, k_main, k_hyper = keys2[:, 0], keys2[:, 1], keys2[:, 2]
         eta = carry.eta
 
         # -- main block: HMC over params given current hypers ----------------
-        main = hmc_step(k_main, carry.theta,
-                        lambda th: potentials.main(th, eta),
-                        step_size, leapfrog,
-                        value_and_grad_fn=lambda th: potentials.main_vg(
-                            th, eta))
+        main = hmc_step_batched(
+            k_main, carry.theta,
+            lambda ths: main_vg_b(ths, eta),
+            step_size, leapfrog)
         theta = main.position
 
         # SJD scaled by L^(-1/2) (reference paramAdapter.py:219-222)
         dif = theta - carry.theta
-        sjd = jnp.sum(dif * dif) / jnp.sqrt(
+        sjd = jnp.sum(dif * dif, axis=-1) / jnp.sqrt(
             jnp.asarray(leapfrog, theta.dtype))
 
         hyper_step = carry.hyper_step
         log_eps_bar = carry.log_eps_bar
         h = carry.h
-        hyper_accept = jnp.asarray(0.0, theta.dtype)
+        hyper_accept = jnp.zeros_like(sjd)
 
         if adjust_hypers:
             # -- hyper block: HMC over hypers given new params ---------------
-            hyper = hmc_step(k_hyper, eta,
-                             lambda e: potentials.hyper(e, theta),
-                             hyper_step, hyper_leapfrog,
-                             value_and_grad_fn=lambda e: potentials.hyper_vg(
-                                 e, theta))
+            hyper = hmc_step_batched(
+                k_hyper, eta,
+                lambda es: hyper_vg_b(es, theta),
+                hyper_step[:, None], hyper_leapfrog)
             eta = hyper.position
             hyper_accept = hyper.accept_prob
 
-            # -- dual averaging (reference network.py:457-469) ---------------
+            # -- dual averaging (reference network.py:457-469), per chain ----
             m = carry.epoch + 1.0
             h = (1.0 - 1.0 / (m + DA_T0)) * h + \
                 (1.0 / (m + DA_T0)) * (DA_TARGET - hyper_accept)
@@ -139,34 +134,3 @@ def make_epoch_fn(model: Sequential, likelihood: Likelihood, x, y,
         return new_carry, trace
 
     return epoch_fn
-
-
-def make_chunk_runner(model: Sequential, likelihood: Likelihood, x, y,
-                      unravel_theta, unravel_eta, *,
-                      adjust_hypers: bool,
-                      hyper_leapfrog: int,
-                      burnin: float,
-                      hyper_step_size_init: float,
-                      axis_name: Optional[str] = None,
-                      donate: bool = True):
-    """Builds a jitted ``run_chunk(carry, step_size, leapfrog, n_epochs)``.
-
-    ``n_epochs`` is static (one compile per distinct chunk length — the
-    driver uses at most three: the first adapter cycle, the steady cycle, and
-    the remainder); ``step_size``/``leapfrog`` are traced.
-    """
-    mu = math.log(100.0 * hyper_step_size_init)
-    epoch_fn = make_epoch_fn(model, likelihood, x, y,
-                             unravel_theta, unravel_eta,
-                             adjust_hypers=adjust_hypers,
-                             hyper_leapfrog=hyper_leapfrog,
-                             burnin=burnin, mu=mu, axis_name=axis_name)
-
-    @functools.partial(jax.jit, static_argnums=(3,),
-                       donate_argnums=(0,) if donate else ())
-    def run_chunk(carry: ChainState, step_size, leapfrog, n_epochs: int):
-        def body(c, _):
-            return epoch_fn(c, step_size, leapfrog)
-        return lax.scan(body, carry, xs=None, length=n_epochs)
-
-    return run_chunk

@@ -115,3 +115,72 @@ def hmc_step(key, position: jax.Array, log_prob_fn: Callable,
     position = jnp.where(accepted, q_new, position)
     log_prob = jnp.where(accepted, lp_new, current_log_prob)
     return HMCResult(position, log_prob, accept_prob, accepted)
+
+
+def leapfrog_batched(vg_fn: Callable, positions: jax.Array,
+                     momenta: jax.Array, step_size, n_steps) -> tuple:
+    """Chain-batched leapfrog: positions (C, D), vg_fn (C, D) -> ((C,), (C, D)).
+
+    One shared traced step count across chains (the adapter ties chains to a
+    common (eps, L) — SURVEY.md #7 hard part 3 decision), so the batch runs
+    as single fused (C, D) vector ops — no per-chain vmap overhead, and the
+    value-and-grad oracle sees the whole chain block at once (the shape a
+    fused Pallas potential kernel wants).
+    """
+    lp0, g0 = vg_fn(positions)
+    momenta = momenta + 0.5 * step_size * g0
+
+    def cond(carry):
+        i, *_ = carry
+        return i < n_steps
+
+    def body(carry):
+        i, q, v, _lp, _g = carry
+        q = q + step_size * v
+        lp, g = vg_fn(q)
+        v = v + step_size * g
+        return (i + 1, q, v, lp, g)
+
+    _, q, v, lp, g = lax.while_loop(
+        cond, body, (jnp.asarray(0, jnp.int32), positions, momenta,
+                     lp0, g0))
+    v = v - 0.5 * step_size * g
+    return q, v, lp, g
+
+
+def hmc_step_batched(keys, positions: jax.Array, vg_fn: Callable,
+                     step_size, n_leapfrog,
+                     current_log_prob=None) -> HMCResult:
+    """One HMC transition over a (C, D) chain batch with per-chain keys.
+
+    All per-chain quantities (momenta, energies, MH coins, accepts) are
+    vectors; the integrator is shared. Matches ``vmap(hmc_step)`` draws
+    exactly (same per-chain PRNG substreams) while compiling to plain
+    batched ops.
+    """
+    keys2 = jax.vmap(lambda k: jax.random.split(k))(keys)   # (C, 2)
+    key_mom, key_mh = keys2[:, 0], keys2[:, 1]
+    momenta = jax.vmap(
+        lambda k: jax.random.normal(k, positions.shape[1:],
+                                    positions.dtype))(key_mom)
+
+    if current_log_prob is None:
+        current_log_prob, _ = vg_fn(positions)
+
+    kinetic0 = 0.5 * jnp.sum(momenta * momenta, axis=-1)
+    q_new, v_new, lp_new, _ = leapfrog_batched(
+        vg_fn, positions, momenta, step_size, n_leapfrog)
+    kinetic1 = 0.5 * jnp.sum(v_new * v_new, axis=-1)
+
+    log_accept_ratio = (lp_new - current_log_prob) + (kinetic0 - kinetic1)
+    log_accept_ratio = jnp.where(jnp.isnan(log_accept_ratio),
+                                 -jnp.inf, log_accept_ratio)
+    accept_prob = jnp.minimum(1.0, jnp.exp(log_accept_ratio))
+
+    log_u = jnp.log(jax.vmap(
+        lambda k: jax.random.uniform(k, (), positions.dtype))(key_mh))
+    accepted = log_u < log_accept_ratio
+
+    positions = jnp.where(accepted[:, None], q_new, positions)
+    log_prob = jnp.where(accepted, lp_new, current_log_prob)
+    return HMCResult(positions, log_prob, accept_prob, accepted)

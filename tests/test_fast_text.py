@@ -44,10 +44,13 @@ def test_faster_than_loadtxt(tmp_path):
     p = str(tmp_path / "big.txt")
     with open(p, "wb") as f:
         np.savetxt(f, data)
-    t0 = time.perf_counter()
-    fast_text.load_floats(p)
-    t_native = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    np.loadtxt(p)
-    t_numpy = time.perf_counter() - t0
+    fast_text.load_floats(p)  # warm: ensures the .so is built/loaded
+    t_native = min(_timed(fast_text.load_floats, p) for _ in range(3))
+    t_numpy = min(_timed(np.loadtxt, p) for _ in range(3))
     assert t_native < t_numpy, (t_native, t_numpy)
+
+
+def _timed(fn, *args):
+    t0 = time.perf_counter()
+    fn(*args)
+    return time.perf_counter() - t0
