@@ -139,6 +139,7 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
                      checkpoint_dir: Optional[str] = None,
                      checkpoint_every: int = 0,
                      tracer=None,
+                     use_fused: str = "auto",
                      verbose: bool = True) -> RunResult:
     """Runs the two-block adaptive HMC sampler.
 
@@ -170,6 +171,22 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
     lik_hypers = likelihood.init_hypers(dtype)
     flat = flatten_state(params, hypers, lik_hypers)
 
+    # Fused Pallas potential (chains-on-lanes likelihood value+grad) when
+    # the model matches the kernel's scope. "auto" enables it on TPU only;
+    # use_fused=True forces it (interpret mode off-TPU, for tests).
+    batched_main_vg = None
+    on_tpu = jax.default_backend() == "tpu"
+    if mesh is None and (use_fused is True
+                         or (use_fused == "auto" and on_tpu)):
+        from tensorbnn_tpu.ops.fused_mlp import try_build_fused_main_vg
+        block_c = n_chains if (n_chains <= 512 or n_chains % 512) else 512
+        batched_main_vg = try_build_fused_main_vg(
+            model, likelihood, flat.unravel_theta, flat.unravel_eta,
+            x_train, y_train, eta_dim=flat.eta.size,
+            block_c=block_c, interpret=not on_tpu)
+        if verbose and batched_main_vg is not None:
+            print("fused Pallas potential kernel enabled")
+
     run_chunk = make_multichain_chunk_runner(
         model, likelihood, x_train, y_train,
         flat.unravel_theta, flat.unravel_eta,
@@ -178,7 +195,8 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
         burnin=float(config.burnin),
         hyper_step_size_init=config.hyper_step_size,
         mesh=mesh,
-        donate=jax.default_backend() == "tpu")
+        donate=jax.default_backend() == "tpu",
+        batched_main_vg=batched_main_vg)
 
     carry = init_multichain_state(flat.theta, flat.eta, key,
                                   config.hyper_step_size, n_chains,
