@@ -37,6 +37,7 @@ def main():
     import jax.numpy as jnp
 
     import __graft_entry__ as graft
+    from tensorbnn_tpu.ops.fused_mlp import try_build_fused_main_vg
     from tensorbnn_tpu.parallel.chains import (
         init_multichain_state,
         make_multichain_chunk_runner,
@@ -50,14 +51,23 @@ def main():
     hyper_leapfrog = 100
     step_size = 1e-3
 
-    def make_runner():
+    # product path: the fused chains-on-lanes Pallas potential (enabled by
+    # 'auto' on TPU in the driver; measured ~1.3-2.9x the XLA potential)
+    fused_vg = None
+    if backend == "tpu":
+        fused_vg = try_build_fused_main_vg(
+            model, likelihood, flat.unravel_theta, flat.unravel_eta,
+            x, y, eta_dim=flat.eta.size, block_c=64)
+        log(f"fused Pallas potential: {'on' if fused_vg else 'off'}")
+
+    def make_runner(batched_main_vg=None):
         return make_multichain_chunk_runner(
             model, likelihood, x, y, flat.unravel_theta, flat.unravel_eta,
             adjust_hypers=True, hyper_leapfrog=hyper_leapfrog,
             burnin=1000.0, hyper_step_size_init=1e-3, mesh=None,
-            donate=False)
+            donate=False, batched_main_vg=batched_main_vg)
 
-    run = make_runner()
+    run = make_runner(fused_vg)
     eps = jnp.asarray(step_size, jnp.float32)
     L = jnp.asarray(leapfrog, jnp.int32)
 
@@ -85,16 +95,18 @@ def main():
         f"{ours_rate:,.0f} steps/sec ({n_chains} chains, "
         f"mean accept {acc:.3f})")
 
-    # -- baseline emulation: single chain, dispatch + host sync per epoch -----
+    # -- baseline emulation: single chain, dispatch + host sync per epoch,
+    #    plain XLA potential (the reference gets no fused kernel) ------------
+    run_b = make_runner(None)
     carry_b = init_multichain_state(flat.theta, flat.eta, jax.random.key(1),
                                     1e-3, 1)
-    carry_b, _ = run(carry_b, x, y, eps, L, 1)  # compile 1-epoch program
+    carry_b, _ = run_b(carry_b, x, y, eps, L, 1)  # compile 1-epoch program
     float(np.asarray(carry_b.theta).sum())
 
     n_epochs_b = 20
     t0 = time.perf_counter()
     for _ in range(n_epochs_b):
-        carry_b, trace_b = run(carry_b, x, y, eps, L, 1)
+        carry_b, trace_b = run_b(carry_b, x, y, eps, L, 1)
         # reference behavior: host consumes per-epoch results eagerly
         float(np.asarray(trace_b.sjd).mean())
     float(np.asarray(carry_b.theta).sum())
