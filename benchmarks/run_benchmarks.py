@@ -138,12 +138,74 @@ def bench_surrogate():
     }))
 
 
+def bench_ess():
+    """ESS/sec on the flagship config — the BASELINE quality-adjusted
+    throughput metric (leapfrog throughput is meaningless if the chain
+    doesn't decorrelate)."""
+    import math
+
+    import jax
+    import jax.numpy as jnp
+
+    from tensorbnn_tpu import FixedGaussianLikelihood, GaussianDenseLayer, \
+        Tanh
+    from tensorbnn_tpu.network import Network
+    from tensorbnn_tpu.utils.autocorr import integrated_time
+
+    train_in = np.linspace(-2, 2, num=11)
+    target = (np.sin(train_in * math.pi * 2) * train_in
+              - np.cos(train_in * math.pi))
+    net = Network(jnp.float32, 1, train_in, target, train_in, target,
+                  seed=11)
+    net.add(GaussianDenseLayer(1, 10)).add(Tanh())
+    net.add(GaussianDenseLayer(10, 10)).add(Tanh())
+    net.add(GaussianDenseLayer(10, 10)).add(Tanh())
+    net.add(GaussianDenseLayer(10, 1))
+    net.setup_mcmc(step_size_start=2e-3, step_size_min=5e-4,
+                   step_size_max=2e-2, step_size_options=40,
+                   leapfrog_start=50, leapfrog_min=20, leapfrog_max=200,
+                   leapfrog_increment=5, hyper_step_size=1e-3,
+                   hyper_leapfrog=30, burnin=300, averaging_steps=10,
+                   random_steps=5)
+    n_chains = 64
+    t0 = time.perf_counter()
+    res = net.train(1300, 2, FixedGaussianLikelihood(sd=0.1),
+                    n_chains=n_chains, chain_jitter=0.05, verbose=False)
+    dt = time.perf_counter() - t0
+
+    # ESS of a predictive summary (mean prediction at x=0.5) per chain
+    from tensorbnn_tpu.sampler.potential import flatten_state
+    params, hypers = net.init_state()
+    flat = flatten_state(params, hypers, {})
+    xq = jnp.asarray([[0.5]], jnp.float32)
+    series = jax.vmap(jax.vmap(
+        lambda th: net.model.apply(flat.unravel_theta(th), xq)[0, 0]))(
+        jnp.asarray(res.theta_samples))            # (S, C)
+    series = np.asarray(series)
+    total_ess = 0.0
+    for c in range(series.shape[1]):
+        tau = integrated_time(series[:, c], quiet=True)
+        if np.isfinite(tau) and tau > 0:
+            total_ess += series.shape[0] / max(tau, 1.0)
+    log(f"ess: {total_ess:.1f} effective samples across {n_chains} chains "
+        f"in {dt:.1f}s wall (incl. compile)")
+    print(json.dumps({
+        "metric": "ESS/sec (predictive summary, 64 chains, flagship MLP)",
+        "value": round(total_ess / dt, 2),
+        "unit": "effective samples/sec",
+        "total_ess": round(total_ess, 1),
+        "mean_accept": round(float(res.main_accept[300:].mean()), 4),
+    }))
+
+
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     if which in ("wide_deep", "all"):
         bench_wide_deep()
     if which in ("surrogate", "all"):
         bench_surrogate()
+    if which in ("ess", "all"):
+        bench_ess()
 
 
 if __name__ == "__main__":

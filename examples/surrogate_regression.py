@@ -1,0 +1,82 @@
+"""Large-dataset physics-surrogate regression (BASELINE.json config 5).
+
+A 1M-point synthetic detector-response dataset fit with a Bayesian MLP under
+a learned-noise Gaussian likelihood. The full-batch log-likelihood and its
+gradient are evaluated every leapfrog step; with a mesh, the batch shards
+over the ``data`` axis and the (value, grad) psum rides the ICI.
+
+Run single-chip: python examples/surrogate_regression.py --smoke
+Multi-chip:      pass --data-devices N (requires N devices).
+"""
+
+import argparse
+import time
+
+import numpy as np
+
+
+def detector_response(x, rng):
+    """Synthetic smooth nonlinear response with heteroscedastic-ish shape."""
+    r = np.sin(x[:, 0] * 2) * np.cos(x[:, 1]) + 0.5 * np.tanh(x[:, 2:].sum(1))
+    return (r + 0.05 * rng.normal(size=len(x))).astype(np.float32)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--smoke", action="store_true")
+    ap.add_argument("--points", type=int, default=1_000_000)
+    ap.add_argument("--data-devices", type=int, default=1)
+    args = ap.parse_args()
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from tensorbnn_tpu import GaussianDenseLayer, GaussianLikelihood, Tanh
+    from tensorbnn_tpu.metrics import SquaredError
+    from tensorbnn_tpu.network import Network
+    from tensorbnn_tpu.parallel.mesh import make_mesh
+
+    start = time.time()
+    n = args.points if not args.smoke else 100_000
+    d_in, width = 8, 64
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(n, d_in)).astype(np.float32)
+    y = detector_response(x, rng)
+    x_val = rng.normal(size=(4096, d_in)).astype(np.float32)
+    y_val = detector_response(x_val, rng)
+
+    mesh = None
+    if args.data_devices > 1:
+        mesh = make_mesh(n_chain_devices=len(jax.devices())
+                         // args.data_devices,
+                         n_data_devices=args.data_devices)
+        assert n % args.data_devices == 0
+
+    net = Network(jnp.float32, d_in, x, y, x_val, y_val, seed=3)
+    net.add(GaussianDenseLayer(d_in, width)).add(Tanh())
+    net.add(GaussianDenseLayer(width, width)).add(Tanh())
+    net.add(GaussianDenseLayer(width, 1))
+
+    epochs, burnin = (60, 20) if args.smoke else (600, 200)
+    net.setup_mcmc(step_size_start=2e-5, step_size_min=1e-6,
+                   step_size_max=1e-4, step_size_options=40,
+                   leapfrog_start=30, leapfrog_min=10, leapfrog_max=100,
+                   leapfrog_increment=5, hyper_step_size=1e-4,
+                   hyper_leapfrog=10, burnin=burnin, averaging_steps=10,
+                   random_steps=3)
+    res = net.train(epochs, 5, GaussianLikelihood(sd=0.05),
+                    metric_list=[SquaredError()], mesh=mesh,
+                    display_skip=max(epochs // 5, 1))
+
+    print(f"\n{res.theta_samples.shape[0]} samples, "
+          f"main accept {res.main_accept.mean():.3f}, "
+          f"learned sd ~ {float(np.mean(res.eta_samples[:, :, -1] ** 2)):.4f}"
+          if res.theta_samples.size else "no samples")
+    print("Total time elapsed (seconds):", time.time() - start)
+
+
+if __name__ == "__main__":
+    main()

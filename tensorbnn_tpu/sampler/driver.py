@@ -280,12 +280,27 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
             tracer.end_chunk(chunk, int(leapfrog), n_chains)
         m_acc = np.asarray(trace.main_accept)  # (chunk, C)
         h_acc = np.asarray(trace.hyper_accept)
-        thetas = np.asarray(trace.theta)       # (chunk, C, D)
-        etas = np.asarray(trace.eta)
         sjd_mean = sjd.mean(axis=1)
         sjds.append(sjd_mean)
         main_accepts.append(m_acc.mean(axis=1))
         hyper_accepts.append(h_acc.mean(axis=1))
+
+        # pull only the rows the host needs (sampling + display epochs) —
+        # the full (chunk, C, D) trace stays on device
+        need_rows = set()
+        for j in range(chunk):
+            e = iter_ + j + 1
+            if e > config.burnin and e % sampling_step == 0:
+                need_rows.add(j)
+            if display_skip and e % display_skip == 0 and verbose:
+                need_rows.add(j)
+        rows = {}
+        if need_rows:
+            idx = jnp.asarray(sorted(need_rows))
+            th_rows = np.asarray(trace.theta[idx])
+            et_rows = np.asarray(trace.eta[idx])
+            rows = {j: (th_rows[k], et_rows[k])
+                    for k, j in enumerate(sorted(need_rows))}
 
         for j in range(chunk):
             iter_ += 1
@@ -296,8 +311,8 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
             step_size = float(np.clip(step_size, 1e-12, None))
 
             if iter_ > config.burnin and iter_ % sampling_step == 0:
-                theta_samples.append(thetas[j])
-                eta_samples.append(etas[j])
+                theta_samples.append(rows[j][0])
+                eta_samples.append(rows[j][1])
 
             if display_skip and iter_ % display_skip == 0 and verbose:
                 print(f"\niter:{iter_:>2}")
@@ -308,7 +323,7 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
                 print("Main acceptance", float(m_acc[j].mean()))
                 print("Hyper acceptance", float(h_acc[j].mean()))
                 if metric_list:
-                    p = flat.unravel_theta(jnp.asarray(thetas[j][0]))
+                    p = flat.unravel_theta(jnp.asarray(rows[j][0][0]))
                     preds_train = model.apply(p, x_train)
                     preds_val = (model.apply(p, jnp.asarray(x_validate,
                                                             dtype))
@@ -320,7 +335,7 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
                                          y_train, real_val)
                         print(metric.display())
                 msg = likelihood.display(
-                    _lik_hypers_from_eta(flat, etas[j][0]))
+                    _lik_hypers_from_eta(flat, rows[j][1][0]))
                 if msg:
                     print(msg)
 
