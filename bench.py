@@ -78,7 +78,7 @@ def main():
                                   1e-3, n_chains, jitter=0.01)
     # warmup/compile
     carry, _ = run(carry, x, y, eps, L, chunk)
-    float(np.asarray(carry.theta).sum())
+    float(jnp.sum(carry.theta))
 
     n_chunks = 5
     t0 = time.perf_counter()
@@ -86,7 +86,7 @@ def main():
         carry, trace = run(carry, x, y, eps, L, chunk)
     # materialize: block_until_ready alone under-reports through the
     # remote-TPU tunnel (returns before the computation drains)
-    float(np.asarray(carry.theta).sum())
+    float(jnp.sum(carry.theta))
     dt = time.perf_counter() - t0
     ours_steps = n_chunks * chunk * leapfrog * n_chains
     ours_rate = ours_steps / dt
@@ -101,7 +101,7 @@ def main():
     carry_b = init_multichain_state(flat.theta, flat.eta, jax.random.key(1),
                                     1e-3, 1)
     carry_b, _ = run_b(carry_b, x, y, eps, L, 1)  # compile 1-epoch program
-    float(np.asarray(carry_b.theta).sum())
+    float(jnp.sum(carry_b.theta))
 
     n_epochs_b = 20
     t0 = time.perf_counter()
@@ -109,7 +109,7 @@ def main():
         carry_b, trace_b = run_b(carry_b, x, y, eps, L, 1)
         # reference behavior: host consumes per-epoch results eagerly
         float(np.asarray(trace_b.sjd).mean())
-    float(np.asarray(carry_b.theta).sum())
+    float(jnp.sum(carry_b.theta))
     dt_b = time.perf_counter() - t0
     base_steps = n_epochs_b * leapfrog
     base_rate = base_steps / dt_b

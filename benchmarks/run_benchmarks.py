@@ -53,12 +53,12 @@ def _bench_sampler(model, x, y, *, n_chains, leapfrog, hyper_leapfrog,
     L = jnp.asarray(leapfrog, jnp.int32)
 
     carry, _ = run(carry, x, y, eps, L, chunk)       # compile
-    float(np.asarray(carry.theta).sum())             # materialize
+    float(jnp.sum(carry.theta))             # materialize
 
     t0 = time.perf_counter()
     for _ in range(n_chunks):
         carry, trace = run(carry, x, y, eps, L, chunk)
-    float(np.asarray(carry.theta).sum())
+    float(jnp.sum(carry.theta))
     dt = time.perf_counter() - t0
     steps = n_chunks * chunk * leapfrog * n_chains
     acc = float(np.asarray(trace.main_accept).mean())
