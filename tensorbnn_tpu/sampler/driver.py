@@ -140,6 +140,7 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
                      checkpoint_every: int = 0,
                      tracer=None,
                      use_fused: str = "auto",
+                     donate: bool = False,
                      verbose: bool = True) -> RunResult:
     """Runs the two-block adaptive HMC sampler.
 
@@ -195,7 +196,9 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
         burnin=float(config.burnin),
         hyper_step_size_init=config.hyper_step_size,
         mesh=mesh,
-        donate=jax.default_backend() == "tpu",
+        # buffer donation crashes the axon PJRT backend at runtime
+        # (INVALID_ARGUMENT on the donated carry); opt-in only
+        donate=donate,
         batched_main_vg=batched_main_vg)
 
     carry = init_multichain_state(flat.theta, flat.eta, key,
