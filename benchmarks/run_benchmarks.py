@@ -178,8 +178,8 @@ def bench_ess():
     params, hypers = net.init_state()
     flat = flatten_state(params, hypers, {})
     xq = jnp.asarray([[0.5]], jnp.float32)
-    series = jax.vmap(jax.vmap(
-        lambda th: net.model.apply(flat.unravel_theta(th), xq)[0, 0]))(
+    series = jax.jit(jax.vmap(jax.vmap(
+        lambda th: net.model.apply(flat.unravel_theta(th), xq)[0, 0])))(
         jnp.asarray(res.theta_samples))            # (S, C)
     series = np.asarray(series)
     total_ess = 0.0

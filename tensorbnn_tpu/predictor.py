@@ -169,6 +169,15 @@ class Predictor:
 
         return np.asarray(jax.jit(jax.vmap(one))(params, hypers, lik_hypers))
 
+    def train_probs(self, train_x, train_y, n: int = 1,
+                    likelihood: Optional[Likelihood] = None) -> np.ndarray:
+        """Caches and returns the per-network negative log posterior terms
+        used as reweighting baselines (reference ``trainProbs``,
+        predictor.py:157-202)."""
+        self._train_log_weights = self._log_posterior_weights(
+            self.layers, train_x, train_y, n, likelihood)
+        return self._train_log_weights
+
     def reweight(self, new_layers: Sequence[LayerSpec], train_x=None,
                  train_y=None, n: int = 1,
                  likelihood: Optional[Likelihood] = None) -> np.ndarray:
