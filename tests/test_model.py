@@ -151,3 +151,16 @@ def test_sigmoid_tanh_match_numpy():
                                1 / (1 + np.exp(-x)), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(Tanh().apply({}, x)),
                                np.tanh(x), rtol=1e-5)
+
+
+def test_make_mlp_factory():
+    from tensorbnn_tpu.models.mlp import make_mlp
+    m = make_mlp((1, 10, 10, 1), activation="tanh", prior="gaussian")
+    assert m.layer_names == ["denseGaussian", "tanh", "denseGaussian",
+                             "tanh", "denseGaussian"]
+    m2 = make_mlp((2, 8, 1), activation="squareprelu", prior="cauchy",
+                  final_activation="sigmoid")
+    assert m2.layer_names == ["dense", "squareprelu", "dense", "sigmoid"]
+    params, hypers = m2.init(jax.random.key(0))
+    out = m2.apply(params, jnp.zeros((3, 2)))
+    assert out.shape == (3, 1)
