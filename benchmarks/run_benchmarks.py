@@ -104,7 +104,7 @@ def bench_wide_deep():
 
 def bench_surrogate():
     import jax
-    from tensorbnn_tpu import GaussianDenseLayer, Relu, Tanh
+    from tensorbnn_tpu import GaussianDenseLayer, Tanh
     from tensorbnn_tpu.models.sequential import Sequential
 
     n_points, d_in, width = 1_000_000, 8, 64

@@ -16,7 +16,6 @@ also runs on the TPU.
 
 from __future__ import annotations
 
-import functools
 from typing import List, Tuple
 
 import jax

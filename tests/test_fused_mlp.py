@@ -61,7 +61,6 @@ def test_layout_verifier():
     from tensorbnn_tpu import GaussianDenseLayer, Tanh
     from tensorbnn_tpu.models.sequential import Sequential
     from tensorbnn_tpu.sampler.potential import flatten_state
-    from tensorbnn_tpu import FixedGaussianLikelihood
 
     model = Sequential([GaussianDenseLayer(1, 10), Tanh(),
                         GaussianDenseLayer(10, 1)])
