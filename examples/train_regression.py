@@ -21,6 +21,9 @@ def main():
                     help="short run for sanity checking")
     ap.add_argument("--epochs", type=int, default=None)
     ap.add_argument("--folder", default="TrigRegression")
+    ap.add_argument("--chains", type=int, default=1,
+                    help="parallel chains (reference is single-chain; 64 "
+                         "saturates a TPU chip at ~no extra wall-clock)")
     args = ap.parse_args()
 
     import jax
@@ -74,7 +77,8 @@ def main():
 
     result = net.train(epochs, sampling, likelihood, metric_list=metrics,
                        adjust_hypers=True, folder_name=args.folder,
-                       networks_per_file=50,
+                       networks_per_file=50, n_chains=args.chains,
+                       chain_jitter=0.01 if args.chains > 1 else 0.0,
                        display_skip=max(epochs // 20, 1))
 
     print(f"\nSampled {result.theta_samples.shape[0]} networks; "
