@@ -110,7 +110,8 @@ class Network:
               networks_per_file: int = 1000,
               display_skip: int = 0, verbose: bool = True,
               n_chains: int = 1, chain_jitter: float = 0.0, mesh=None,
-              use_fused: str = "auto", checkpoint_dir=None,
+              use_fused: str = "auto", state_layout: str = "auto",
+              checkpoint_dir=None,
               checkpoint_every: int = 0, tracer=None,
               **kwargs) -> RunResult:
         """Runs the sampler (reference ``network.train``, network.py:509).
@@ -143,7 +144,8 @@ class Network:
             display_skip=display_skip, folder_name=folder_name,
             networks_per_file=networks_per_file, dtype=self.dtype,
             n_chains=n_chains, chain_jitter=chain_jitter, mesh=mesh,
-            use_fused=use_fused, checkpoint_dir=checkpoint_dir,
+            use_fused=use_fused, state_layout=state_layout,
+            checkpoint_dir=checkpoint_dir,
             checkpoint_every=checkpoint_every, tracer=tracer,
             verbose=verbose)
         return self.results

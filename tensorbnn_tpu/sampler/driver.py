@@ -140,6 +140,7 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
                      checkpoint_every: int = 0,
                      tracer=None,
                      use_fused: str = "auto",
+                     state_layout: str = "auto",
                      donate: bool = False,
                      verbose: bool = True) -> RunResult:
     """Runs the two-block adaptive HMC sampler.
@@ -188,6 +189,13 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
         if verbose and batched_main_vg is not None:
             print("fused Pallas potential kernel enabled")
 
+    # state layout: wide models skip the per-leapfrog ravel round-trip by
+    # keeping the chain state as a pytree inside the scan (PERF_NOTES.md)
+    if state_layout == "auto":
+        state_layout = ("tree" if (mesh is None and batched_main_vg is None
+                                   and flat.theta.size >= 32768)
+                        else "flat")
+
     run_chunk = make_multichain_chunk_runner(
         model, likelihood, x_train, y_train,
         flat.unravel_theta, flat.unravel_eta,
@@ -199,7 +207,8 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
         # buffer donation crashes the axon PJRT backend at runtime
         # (INVALID_ARGUMENT on the donated carry); opt-in only
         donate=donate,
-        batched_main_vg=batched_main_vg)
+        batched_main_vg=batched_main_vg,
+        state_layout=state_layout)
 
     carry = init_multichain_state(flat.theta, flat.eta, key,
                                   config.hyper_step_size, n_chains,

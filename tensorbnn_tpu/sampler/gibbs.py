@@ -134,3 +134,103 @@ def make_epoch_fn(model: Sequential, likelihood: Likelihood, x, y,
         return new_carry, trace
 
     return epoch_fn
+
+
+def make_tree_epoch_fn(model: Sequential, likelihood: Likelihood, x, y,
+                       unravel_eta, *,
+                       adjust_hypers: bool,
+                       hyper_leapfrog: int,
+                       burnin: float,
+                       mu: float,
+                       unravel_theta=None,
+                       theta_dim: int = None):
+    """Tree-state epoch step for wide models.
+
+    The main-chain state lives as a stacked params pytree (leaves (C, ...))
+    — no ravel/unravel inside the leapfrog loop, which costs ~1.8x on wide
+    MLPs (benchmarks/PERF_NOTES.md). The hyper state stays flat (it is tiny).
+    ``carry.theta`` is the pytree; the chunk runner converts to/from the
+    flat layout at chunk boundaries only.
+    """
+    from tensorbnn_tpu.sampler.hmc import hmc_step_tree
+
+    def main_loss(params, eta):
+        hypers, lik_hypers = unravel_eta(eta)
+        preds = model.apply(params, x)
+        return model.log_prior(hypers, params) + \
+            likelihood.log_likelihood(preds, y, lik_hypers)
+
+    main_vg = jax.vmap(jax.value_and_grad(main_loss))
+
+    def hyper_loss(eta, params):
+        hypers, lik_hypers = unravel_eta(eta)
+        lp = model.log_hyper_prior(hypers, params)
+        if likelihood.main_probs_in_hypers:
+            preds = model.apply(params, x)
+            lp = lp + likelihood.log_likelihood(preds, y, lik_hypers)
+        return lp
+
+    hyper_vg = jax.vmap(jax.value_and_grad(hyper_loss))
+
+    momentum_fn = None
+    if unravel_theta is not None and theta_dim is not None:
+        # draw the flat (C, D) momentum then unravel: identical PRNG
+        # stream to the flat layout (bitwise-comparable runs)
+        def momentum_fn(key_mom):
+            flat_mom = jax.vmap(
+                lambda k: jax.random.normal(k, (theta_dim,)))(key_mom)
+            return jax.vmap(unravel_theta)(flat_mom)
+
+    def epoch_fn(carry: ChainState, step_size, leapfrog):
+        keys2 = jax.vmap(lambda k: jax.random.split(k, 3))(carry.key)
+        key, k_main, k_hyper = keys2[:, 0], keys2[:, 1], keys2[:, 2]
+        eta = carry.eta
+
+        main = hmc_step_tree(k_main, carry.theta,
+                             lambda p: main_vg(p, eta),
+                             step_size, leapfrog,
+                             momentum_fn=momentum_fn)
+        theta = main.position
+
+        # SJD scaled by L^(-1/2), tree-reduced per chain
+        sjd = None
+        for new, old in zip(jax.tree.leaves(theta),
+                            jax.tree.leaves(carry.theta)):
+            d = new - old
+            s = jnp.sum(d * d, axis=tuple(range(1, d.ndim)))
+            sjd = s if sjd is None else sjd + s
+        sjd = sjd / jnp.sqrt(jnp.asarray(leapfrog, sjd.dtype))
+
+        hyper_step = carry.hyper_step
+        log_eps_bar = carry.log_eps_bar
+        h = carry.h
+        hyper_accept = jnp.zeros_like(sjd)
+
+        if adjust_hypers:
+            from tensorbnn_tpu.sampler.hmc import hmc_step_batched
+            hyper = hmc_step_batched(
+                k_hyper, eta,
+                lambda es: hyper_vg(es, theta),
+                hyper_step[:, None], hyper_leapfrog)
+            eta = hyper.position
+            hyper_accept = hyper.accept_prob
+
+            m = carry.epoch + 1.0
+            h = (1.0 - 1.0 / (m + DA_T0)) * h + \
+                (1.0 / (m + DA_T0)) * (DA_TARGET - hyper_accept)
+            log_eps = mu - h * jnp.sqrt(m) / DA_GAMMA
+            log_eps_bar = (1.0 - m ** (-DA_KAPPA)) * log_eps_bar + \
+                m ** (-DA_KAPPA) * log_eps
+            hyper_step = jnp.where(m < burnin * 0.8,
+                                   jnp.exp(log_eps_bar), hyper_step)
+
+        new_carry = ChainState(theta=theta, eta=eta, key=key,
+                               hyper_step=hyper_step,
+                               log_eps_bar=log_eps_bar, h=h,
+                               epoch=carry.epoch + 1.0)
+        trace = EpochTrace(theta=theta, eta=eta, sjd=sjd,
+                           main_accept=main.accept_prob,
+                           hyper_accept=hyper_accept)
+        return new_carry, trace
+
+    return epoch_fn

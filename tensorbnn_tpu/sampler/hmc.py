@@ -184,3 +184,102 @@ def hmc_step_batched(keys, positions: jax.Array, vg_fn: Callable,
     positions = jnp.where(accepted[:, None], q_new, positions)
     log_prob = jnp.where(accepted, lp_new, current_log_prob)
     return HMCResult(positions, log_prob, accept_prob, accepted)
+
+
+# -- pytree-state variant ------------------------------------------------------
+# For wide models the flat-vector layout pays a ravel/unravel round-trip per
+# gradient evaluation (~1.8x on a 10x256 MLP, benchmarks/PERF_NOTES.md);
+# these tree-native kernels keep the chain state as a stacked params pytree
+# (every leaf (C, ...)) and never flatten inside the leapfrog loop.
+
+def _tree_randn_like(keys, tree):
+    """Per-chain, per-leaf standard normals (keys: (C,) chain keys)."""
+    leaves, treedef = jax.tree.flatten(tree)
+    outs = []
+    for i, leaf in enumerate(leaves):
+        leaf_keys = jax.vmap(lambda k, i=i: jax.random.fold_in(k, i))(keys)
+        outs.append(jax.vmap(
+            lambda k, s=leaf.shape[1:], d=leaf.dtype:
+            jax.random.normal(k, s, d))(leaf_keys))
+    return jax.tree.unflatten(treedef, outs)
+
+
+def _tree_sum_sq(tree):
+    """Per-chain sum of squares over all leaves -> (C,)."""
+    total = None
+    for leaf in jax.tree.leaves(tree):
+        s = jnp.sum(leaf * leaf, axis=tuple(range(1, leaf.ndim)))
+        total = s if total is None else total + s
+    return total
+
+
+def _tree_axpy(a, x_tree, y_tree):
+    """y + a * x, leafwise (a scalar or (C,) broadcast over leaf dims)."""
+    def upd(y, x):
+        scale = a
+        if jnp.ndim(a) == 1:
+            scale = a.reshape((-1,) + (1,) * (y.ndim - 1))
+        return y + scale * x
+    return jax.tree.map(upd, y_tree, x_tree)
+
+
+def leapfrog_tree(vg_fn: Callable, positions, momenta, step_size,
+                  n_steps) -> tuple:
+    """Tree-state chain-batched leapfrog. ``vg_fn(tree) -> ((C,), tree)``."""
+    lp0, g0 = vg_fn(positions)
+    momenta = _tree_axpy(0.5 * step_size, g0, momenta)
+
+    def cond(carry):
+        i, *_ = carry
+        return i < n_steps
+
+    def body(carry):
+        i, q, v, _lp, _g = carry
+        q = _tree_axpy(step_size, v, q)
+        lp, g = vg_fn(q)
+        v = _tree_axpy(step_size, g, v)
+        return (i + 1, q, v, lp, g)
+
+    _, q, v, lp, g = lax.while_loop(
+        cond, body, (jnp.asarray(0, jnp.int32), positions, momenta,
+                     lp0, g0))
+    v = _tree_axpy(-0.5 * step_size, g, v)
+    return q, v, lp, g
+
+
+def hmc_step_tree(keys, positions, vg_fn: Callable, step_size,
+                  n_leapfrog, momentum_fn: Optional[Callable] = None
+                  ) -> HMCResult:
+    """One HMC transition over a stacked-pytree chain batch.
+
+    ``momentum_fn(chain_keys) -> tree`` optionally overrides momentum
+    sampling — the tree chunk runner passes a flat-draw-then-unravel
+    sampler so tree- and flat-layout runs consume identical PRNG streams
+    (bitwise-comparable trajectories)."""
+    keys2 = jax.vmap(lambda k: jax.random.split(k))(keys)
+    key_mom, key_mh = keys2[:, 0], keys2[:, 1]
+    momenta = (momentum_fn(key_mom) if momentum_fn is not None
+               else _tree_randn_like(key_mom, positions))
+
+    current_log_prob, _ = vg_fn(positions)
+    kinetic0 = 0.5 * _tree_sum_sq(momenta)
+    q_new, v_new, lp_new, _ = leapfrog_tree(
+        vg_fn, positions, momenta, step_size, n_leapfrog)
+    kinetic1 = 0.5 * _tree_sum_sq(v_new)
+
+    log_accept_ratio = (lp_new - current_log_prob) + (kinetic0 - kinetic1)
+    log_accept_ratio = jnp.where(jnp.isnan(log_accept_ratio),
+                                 -jnp.inf, log_accept_ratio)
+    accept_prob = jnp.minimum(1.0, jnp.exp(log_accept_ratio))
+
+    log_u = jnp.log(jax.vmap(
+        lambda k: jax.random.uniform(k, ()))(key_mh))
+    accepted = log_u < log_accept_ratio
+
+    def pick(a, b):
+        mask = accepted.reshape((-1,) + (1,) * (a.ndim - 1))
+        return jnp.where(mask, a, b)
+
+    positions = jax.tree.map(pick, q_new, positions)
+    log_prob = jnp.where(accepted, lp_new, current_log_prob)
+    return HMCResult(positions, log_prob, accept_prob, accepted)

@@ -155,3 +155,30 @@ def test_multichain_through_network_facade(problem):
                                rtol=1e-6)
     w = np.asarray(res.param_samples[0]["w"])
     assert w.shape[0] == 32
+
+
+def test_tree_layout_matches_flat(problem):
+    """The wide-model pytree state layout reproduces the flat layout's
+    draws bit-for-bit (shared PRNG stream via flat momentum draws)."""
+    model, likelihood, x, y, flat = problem
+    kw = dict(adjust_hypers=True, hyper_leapfrog=5, burnin=50.0,
+              hyper_step_size_init=1e-3, donate=False)
+    run_f = make_multichain_chunk_runner(
+        model, likelihood, x, y, flat.unravel_theta, flat.unravel_eta,
+        state_layout="flat", **kw)
+    run_t = make_multichain_chunk_runner(
+        model, likelihood, x, y, flat.unravel_theta, flat.unravel_eta,
+        state_layout="tree", **kw)
+    carry = init_multichain_state(flat.theta, flat.eta, jax.random.key(5),
+                                  1e-3, 4, jitter=0.01)
+    xs, ys = jnp.asarray(x), jnp.asarray(y)
+    eps = jnp.asarray(1e-3, jnp.float32)
+    L = jnp.asarray(6, jnp.int32)
+    cf, tf_ = run_f(carry, xs, ys, eps, L, 3)
+    ct, tt = run_t(carry, xs, ys, eps, L, 3)
+    np.testing.assert_allclose(np.asarray(ct.theta), np.asarray(cf.theta),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(ct.eta), np.asarray(cf.eta),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(tt.theta), np.asarray(tf_.theta),
+                               rtol=1e-6, atol=1e-7)
