@@ -26,7 +26,8 @@ def log(*a):
 
 
 def _bench_sampler(model, x, y, *, n_chains, leapfrog, hyper_leapfrog,
-                   chunk, n_chunks, seed=0, jitter=0.01, step_size=1e-4):
+                   chunk, n_chunks, seed=0, jitter=0.01, step_size=1e-4,
+                   state_layout="flat"):
     import jax
     import jax.numpy as jnp
 
@@ -44,7 +45,8 @@ def _bench_sampler(model, x, y, *, n_chains, leapfrog, hyper_leapfrog,
     run = make_multichain_chunk_runner(
         model, likelihood, x, y, flat.unravel_theta, flat.unravel_eta,
         adjust_hypers=True, hyper_leapfrog=hyper_leapfrog, burnin=1e9,
-        hyper_step_size_init=1e-4, mesh=None, donate=False)
+        hyper_step_size_init=1e-4, mesh=None, donate=False,
+        state_layout=state_layout)
 
     carry = init_multichain_state(flat.theta, flat.eta,
                                   jax.random.key(seed + 1), 1e-4,
@@ -84,7 +86,8 @@ def bench_wide_deep():
     leapfrog = 20
     steps, dt, acc, n_params = _bench_sampler(
         model, x, y, n_chains=n_chains, leapfrog=leapfrog,
-        hyper_leapfrog=5, chunk=5, n_chunks=3, step_size=1e-5)
+        hyper_leapfrog=5, chunk=5, n_chunks=3, step_size=1e-5,
+        state_layout="tree")  # the driver's auto choice for 592k params
 
     rate = steps / dt
     # forward ~2*B*W^2 per hidden layer; grad ~3x forward
@@ -121,7 +124,8 @@ def bench_surrogate():
     leapfrog = 10
     steps, dt, acc, n_params = _bench_sampler(
         model, x, y, n_chains=1, leapfrog=leapfrog, hyper_leapfrog=2,
-        chunk=2, n_chunks=3, jitter=0.0, step_size=1e-6)
+        chunk=2, n_chunks=3, jitter=0.0, step_size=1e-6,
+        state_layout="tree")
 
     rate = steps / dt
     grad_evals_per_sec = rate  # 1 chain: steps == grad evals
