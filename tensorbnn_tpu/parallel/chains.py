@@ -86,42 +86,38 @@ def make_multichain_chunk_runner(model: Sequential, likelihood: Likelihood,
     """
     mu = math.log(100.0 * hyper_step_size_init)
 
-    if state_layout == "tree":
-        # wide-model path: pytree chain state inside the scan, flat (C, D)
-        # at the chunk boundary so the driver/IO interface is unchanged
-        if mesh is not None:
-            raise NotImplementedError("tree layout with a mesh: use flat")
-        from jax.flatten_util import ravel_pytree
-        from tensorbnn_tpu.sampler.gibbs import make_tree_epoch_fn
+    from jax.flatten_util import ravel_pytree
+    from tensorbnn_tpu.sampler.gibbs import make_tree_epoch_fn
 
-        unravel_b = jax.vmap(unravel_theta)
-        ravel_b = jax.vmap(lambda p: ravel_pytree(p)[0])
-
-        @functools.partial(jax.jit, static_argnums=(5,),
-                           donate_argnums=(0,) if donate else ())
-        def run_chunk(carry, x_in, y_in, step_size, leapfrog, n_epochs):
-            del x_in, y_in  # closed over; kept for interface parity
-            epoch_fn = make_tree_epoch_fn(
-                model, likelihood, x, y, unravel_eta,
-                adjust_hypers=adjust_hypers,
-                hyper_leapfrog=hyper_leapfrog,
-                burnin=burnin, mu=mu,
-                unravel_theta=unravel_theta,
-                theta_dim=carry.theta.shape[-1])
-            tree_carry = carry._replace(theta=unravel_b(carry.theta))
-
-            def step(c, _):
-                c2, trace = epoch_fn(c, step_size, leapfrog)
-                return c2, trace._replace(theta=ravel_b(trace.theta))
-
-            final, traces = lax.scan(step, tree_carry, xs=None,
-                                     length=n_epochs)
-            final = final._replace(theta=ravel_b(final.theta))
-            return final, traces
-
-        return run_chunk
+    unravel_b = jax.vmap(unravel_theta)
+    ravel_b = jax.vmap(lambda p: ravel_pytree(p)[0])
 
     def make_body(axis_name):
+        """Builds the chunk body; the flat (C, D) interface at the boundary
+        is identical for both state layouts, so the shard_map wrapper below
+        serves either."""
+        if state_layout == "tree":
+            def body(carry, x_shard, y_shard, step_size, leapfrog,
+                     n_epochs: int):
+                epoch_fn = make_tree_epoch_fn(
+                    model, likelihood, x_shard, y_shard, unravel_eta,
+                    adjust_hypers=adjust_hypers,
+                    hyper_leapfrog=hyper_leapfrog,
+                    burnin=burnin, mu=mu,
+                    unravel_theta=unravel_theta,
+                    theta_dim=carry.theta.shape[-1],
+                    axis_name=axis_name)
+                tree_carry = carry._replace(theta=unravel_b(carry.theta))
+
+                def step(c, _):
+                    c2, trace = epoch_fn(c, step_size, leapfrog)
+                    return c2, trace._replace(theta=ravel_b(trace.theta))
+
+                final, traces = lax.scan(step, tree_carry, xs=None,
+                                         length=n_epochs)
+                return final._replace(theta=ravel_b(final.theta)), traces
+            return body
+
         def body(carry, x_shard, y_shard, step_size, leapfrog,
                  n_epochs: int):
             epoch_fn = make_epoch_fn(

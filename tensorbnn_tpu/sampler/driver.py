@@ -189,11 +189,16 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
         if verbose and batched_main_vg is not None:
             print("fused Pallas potential kernel enabled")
 
-    # state layout: wide models skip the per-leapfrog ravel round-trip by
-    # keeping the chain state as a pytree inside the scan (PERF_NOTES.md)
+    # state layout: wide-model and big-data runs skip the per-leapfrog
+    # ravel round-trip by keeping the chain state as a pytree inside the
+    # scan — measured 2.1x on 10x256 and 7.5x on the 1M-point surrogate,
+    # where the flat gradient concat blocks XLA's fusion of the data-sized
+    # backward matmuls (benchmarks/PERF_NOTES.md)
     if state_layout == "auto":
+        big_model = flat.theta.size >= 32768
+        big_data = int(x_train.shape[0]) >= 65536
         state_layout = ("tree" if (mesh is None and batched_main_vg is None
-                                   and flat.theta.size >= 32768)
+                                   and (big_model or big_data))
                         else "flat")
 
     run_chunk = make_multichain_chunk_runner(

@@ -143,34 +143,59 @@ def make_tree_epoch_fn(model: Sequential, likelihood: Likelihood, x, y,
                        burnin: float,
                        mu: float,
                        unravel_theta=None,
-                       theta_dim: int = None):
+                       theta_dim: int = None,
+                       axis_name: Optional[str] = None):
     """Tree-state epoch step for wide models.
 
     The main-chain state lives as a stacked params pytree (leaves (C, ...))
-    — no ravel/unravel inside the leapfrog loop, which costs ~1.8x on wide
-    MLPs (benchmarks/PERF_NOTES.md). The hyper state stays flat (it is tiny).
-    ``carry.theta`` is the pytree; the chunk runner converts to/from the
-    flat layout at chunk boundaries only.
+    — no ravel/unravel inside the leapfrog loop, which costs 2-7x on wide
+    models and big datasets (benchmarks/PERF_NOTES.md). The hyper state
+    stays flat (it is tiny). ``carry.theta`` is the pytree; the chunk runner
+    converts to/from the flat layout at chunk boundaries only.
+
+    With ``axis_name``, ``x``/``y`` are data shards and the likelihood value
+    and gradient tree are ``psum``'d (explicitly — same collective-
+    correctness rule as the flat potentials).
     """
+    from jax import lax
     from tensorbnn_tpu.sampler.hmc import hmc_step_tree
 
-    def main_loss(params, eta):
-        hypers, lik_hypers = unravel_eta(eta)
+    def loglik(params, eta):
+        _, lik_hypers = unravel_eta(eta)
         preds = model.apply(params, x)
-        return model.log_prior(hypers, params) + \
-            likelihood.log_likelihood(preds, y, lik_hypers)
+        return likelihood.log_likelihood(preds, y, lik_hypers)
 
-    main_vg = jax.vmap(jax.value_and_grad(main_loss))
+    def main_prior(params, eta):
+        hypers, _ = unravel_eta(eta)
+        return model.log_prior(hypers, params)
 
-    def hyper_loss(eta, params):
-        hypers, lik_hypers = unravel_eta(eta)
-        lp = model.log_hyper_prior(hypers, params)
+    lik_vg = jax.vmap(jax.value_and_grad(loglik))
+    prior_vg = jax.vmap(jax.value_and_grad(main_prior))
+
+    def main_vg(params, eta):
+        lv, lg = lik_vg(params, eta)
+        if axis_name is not None:
+            lv, lg = lax.psum((lv, lg), axis_name)
+        pv, pg = prior_vg(params, eta)
+        return lv + pv, jax.tree.map(jnp.add, lg, pg)
+
+    def hyper_rep(eta, params):
+        hypers, _ = unravel_eta(eta)
+        return model.log_hyper_prior(hypers, params)
+
+    hyper_rep_vg = jax.vmap(jax.value_and_grad(hyper_rep))
+    if likelihood.main_probs_in_hypers:
+        hyper_lik_vg = jax.vmap(jax.value_and_grad(
+            lambda eta, params: loglik(params, eta)))
+
+    def hyper_vg(eta, params):
+        rv, rg = hyper_rep_vg(eta, params)
         if likelihood.main_probs_in_hypers:
-            preds = model.apply(params, x)
-            lp = lp + likelihood.log_likelihood(preds, y, lik_hypers)
-        return lp
-
-    hyper_vg = jax.vmap(jax.value_and_grad(hyper_loss))
+            lv, lg = hyper_lik_vg(eta, params)
+            if axis_name is not None:
+                lv, lg = lax.psum((lv, lg), axis_name)
+            rv, rg = rv + lv, rg + lg
+        return rv, rg
 
     momentum_fn = None
     if unravel_theta is not None and theta_dim is not None:

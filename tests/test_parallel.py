@@ -182,3 +182,30 @@ def test_tree_layout_matches_flat(problem):
                                rtol=1e-6, atol=1e-7)
     np.testing.assert_allclose(np.asarray(tt.theta), np.asarray(tf_.theta),
                                rtol=1e-6, atol=1e-7)
+
+
+def test_tree_layout_on_mesh_matches_plain(problem):
+    """Tree layout + (chains, data) mesh: psum'd tree gradients reproduce
+    the single-device tree run."""
+    model, likelihood, x, y, flat = problem
+    dev_mesh = mesh_lib.make_mesh(n_chain_devices=2, n_data_devices=4)
+    kw = dict(adjust_hypers=True, hyper_leapfrog=5, burnin=50.0,
+              hyper_step_size_init=1e-3, donate=False, state_layout="tree")
+    run_plain = make_multichain_chunk_runner(
+        model, likelihood, x, y, flat.unravel_theta, flat.unravel_eta,
+        mesh=None, **kw)
+    run_mesh = make_multichain_chunk_runner(
+        model, likelihood, x, y, flat.unravel_theta, flat.unravel_eta,
+        mesh=dev_mesh, **kw)
+    carry = init_multichain_state(flat.theta, flat.eta, jax.random.key(9),
+                                  1e-3, 4, jitter=0.01)
+    xs, ys = jnp.asarray(x), jnp.asarray(y)
+    eps = jnp.asarray(5e-4, jnp.float32)
+    L = jnp.asarray(6, jnp.int32)
+    cp, tp = run_plain(carry, xs, ys, eps, L, 3)
+    cm, tm = run_mesh(carry, xs, ys, eps, L, 3)
+    np.testing.assert_allclose(np.asarray(cm.theta), np.asarray(cp.theta),
+                               rtol=5e-2, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(tm.main_accept),
+                               np.asarray(tp.main_accept),
+                               rtol=5e-2, atol=5e-3)
