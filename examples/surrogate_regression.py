@@ -49,10 +49,12 @@ def main():
     y_val = detector_response(x_val, rng)
 
     mesh = None
+    n_chains = 1
     if args.data_devices > 1:
-        mesh = make_mesh(n_chain_devices=len(jax.devices())
-                         // args.data_devices,
+        n_chain_dev = len(jax.devices()) // args.data_devices
+        mesh = make_mesh(n_chain_devices=n_chain_dev,
                          n_data_devices=args.data_devices)
+        n_chains = n_chain_dev  # one chain per chain-axis device
         assert n % args.data_devices == 0
 
     net = Network(jnp.float32, d_in, x, y, x_val, y_val, seed=3)
@@ -69,7 +71,8 @@ def main():
                    random_steps=3)
     res = net.train(epochs, 5, GaussianLikelihood(sd=0.05),
                     metric_list=[SquaredError()], mesh=mesh,
-                    display_skip=max(epochs // 5, 1))
+                    n_chains=n_chains, chain_jitter=0.01 if n_chains > 1
+                    else 0.0, display_skip=max(epochs // 5, 1))
 
     print(f"\n{res.theta_samples.shape[0]} samples, "
           f"main accept {res.main_accept.mean():.3f}, "

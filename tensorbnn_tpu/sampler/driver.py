@@ -167,6 +167,12 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
             raise ValueError(
                 f"training rows {x_train.shape[0]} must divide the data "
                 f"axis ({n_data}); pad the dataset")
+        from tensorbnn_tpu.parallel.mesh import CHAIN_AXIS
+        n_chain_dev = mesh.shape[CHAIN_AXIS]
+        if n_chains % n_chain_dev:
+            raise ValueError(
+                f"n_chains ({n_chains}) must be a multiple of the mesh "
+                f"chains axis ({n_chain_dev})")
         x_train = jax.device_put(x_train, data_sharding(mesh))
         y_train = jax.device_put(y_train, data_sharding(mesh))
 
@@ -197,7 +203,7 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
     if state_layout == "auto":
         big_model = flat.theta.size >= 32768
         big_data = int(x_train.shape[0]) >= 65536
-        state_layout = ("tree" if (mesh is None and batched_main_vg is None
+        state_layout = ("tree" if (batched_main_vg is None
                                    and (big_model or big_data))
                         else "flat")
 
