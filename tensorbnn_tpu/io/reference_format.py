@@ -106,6 +106,97 @@ def save_run(path: str, model: Sequential, likelihood: Likelihood,
     return n_keep
 
 
+class RunWriter:
+    """Streaming writer in the reference's incremental style.
+
+    The reference appends each sampled network to open per-tensor files and
+    rotates/rewrites summary.txt every ``networksPerFile`` samples
+    (network.py:546-663). This writer does the same, so arbitrarily long
+    runs persist with O(networks_per_file) host memory instead of buffering
+    the whole posterior (a 64-chain 10x256 run would otherwise accumulate
+    ~100GB on host).
+    """
+
+    def __init__(self, path: str, model: Sequential, likelihood: Likelihood,
+                 networks_per_file: int):
+        self.path = path
+        self.model = model
+        self.likelihood = likelihood
+        self.per_file = networks_per_file
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, "architecture.txt"), "w") as f:
+            for name in model.layer_names:
+                f.write(name + "\n")
+        self._n_tensors = sum(layer.n_ref_param_tensors
+                              for layer in model.layers)
+        self._n_written = 0
+        self._file_idx = 0
+        self._files = None
+        self._n_hyper_scalars = None
+
+    def _open_files(self):
+        self._files = [
+            open(os.path.join(self.path, f"{n}.{self._file_idx}.txt"), "ab")
+            for n in range(self._n_tensors)]
+        if self._n_hyper_scalars:
+            self._files.append(open(
+                os.path.join(self.path, f"hypers{self._file_idx}.txt"),
+                "ab"))
+
+    def append(self, params: tuple, hypers: tuple, lik_hypers: dict):
+        """Appends one network (unstacked pytrees)."""
+        tensors = ref_state_tensors(self.model, params)
+        hyper_vec = ref_hyper_matrix(self.model, self.likelihood,
+                                     hypers, lik_hypers)
+        if self._n_hyper_scalars is None:
+            self._n_hyper_scalars = int(hyper_vec.shape[-1]) \
+                if hyper_vec.ndim else 0
+            self._shapes = [t.shape for t in tensors]
+            self._open_files()
+
+        for f, t in zip(self._files, tensors):
+            np.savetxt(f, np.atleast_1d(np.asarray(t)))
+        if self._n_hyper_scalars:
+            np.savetxt(self._files[-1], np.asarray(hyper_vec).reshape(-1))
+        self._n_written += 1
+
+        if self._n_written % self.per_file == 0:
+            for f in self._files:
+                f.close()
+            self._file_idx += 1
+            self._write_summary()
+            self._open_files()
+
+    def _write_summary(self):
+        n_complete = (self._n_written // self.per_file) * self.per_file
+        n_files = self._n_written // self.per_file
+        with open(os.path.join(self.path, "summary.txt"), "w") as f:
+            for shape in self._shapes:
+                f.write(" ".join(str(s) for s in shape) + "\n")
+            f.write(f"{n_complete} {n_files} {self._n_tensors}\n")
+            f.write(str(self._n_hyper_scalars or 0))
+
+    def close(self) -> int:
+        """Finalizes; returns the number of recorded (complete-file)
+        networks."""
+        if self._files:
+            for f in self._files:
+                f.close()
+            # drop the trailing partial file, mirroring the reference's
+            # summary semantics (complete files only)
+            if self._n_written % self.per_file:
+                for n in range(self._n_tensors):
+                    p = os.path.join(self.path,
+                                     f"{n}.{self._file_idx}.txt")
+                    if os.path.exists(p):
+                        os.remove(p)
+                p = os.path.join(self.path, f"hypers{self._file_idx}.txt")
+                if os.path.exists(p):
+                    os.remove(p)
+            self._write_summary()
+        return (self._n_written // self.per_file) * self.per_file
+
+
 def load_run(path: str) -> Tuple[List[str], List[np.ndarray], np.ndarray]:
     """Loads a reference-format directory.
 

@@ -142,6 +142,7 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
                      use_fused: str = "auto",
                      state_layout: str = "auto",
                      donate: bool = False,
+                     keep_samples="auto",
                      verbose: bool = True) -> RunResult:
     """Runs the two-block adaptive HMC sampler.
 
@@ -236,6 +237,25 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
     sjds: List[np.ndarray] = []
     main_accepts: List[np.ndarray] = []
     hyper_accepts: List[np.ndarray] = []
+
+    # memory policy: long wide multi-chain runs cannot buffer the whole
+    # posterior on host (the reference streams to disk, network.py:647-663).
+    # "auto" keeps samples in memory below ~2GB projected, else streams.
+    n_expected = sum(1 for e in range(1, epochs + 1)
+                     if e > config.burnin and e % sampling_step == 0)
+    projected = n_expected * n_chains * (flat.theta.size
+                                         + flat.eta.size) * 4
+    if keep_samples == "auto":
+        keep_samples = projected < (2 << 30)
+    writer = None
+    if folder_name is not None and not keep_samples:
+        writer = reference_format.RunWriter(
+            folder_name, model, likelihood, networks_per_file)
+        if verbose:
+            print(f"streaming samples to {folder_name} "
+                  f"(~{projected / 1e9:.1f}GB posterior exceeds the "
+                  f"in-memory budget; note: multichain sample order on "
+                  f"disk is time-major)")
 
     iter_ = 0  # completed epochs, reference 1-based bookkeeping
 
@@ -334,8 +354,17 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
             step_size = float(np.clip(step_size, 1e-12, None))
 
             if iter_ > config.burnin and iter_ % sampling_step == 0:
-                theta_samples.append(rows[j][0])
-                eta_samples.append(rows[j][1])
+                if keep_samples:
+                    theta_samples.append(rows[j][0])
+                    eta_samples.append(rows[j][1])
+                if writer is not None:
+                    for c in range(n_chains):
+                        p_c = jax.tree.map(np.asarray, flat.unravel_theta(
+                            jnp.asarray(rows[j][0][c])))
+                        h_c, lh_c = flat.unravel_eta(
+                            jnp.asarray(rows[j][1][c]))
+                        writer.append(p_c, jax.tree.map(np.asarray, h_c),
+                                      jax.tree.map(np.asarray, lh_c))
 
             if display_skip and iter_ % display_skip == 0 and verbose:
                 print(f"\niter:{iter_:>2}")
@@ -392,7 +421,9 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
         hyper_samples = tuple({} for _ in model.layers)
         lik_hyper_samples = {}
 
-    if folder_name is not None and theta_samples:
+    if writer is not None:
+        writer.close()
+    elif folder_name is not None and theta_samples:
         # reference text layout (cross-compatible with the reference's
         # predictor) plus the fast native npz store
         reference_format.save_run(

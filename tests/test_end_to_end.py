@@ -171,3 +171,45 @@ def test_learned_noise_likelihood_runs():
     assert np.isfinite(res.eta_samples).all()
     # the learned noise hyper should have moved off its sqrt(0.1) init
     assert np.std(res.eta_samples[:, 0, -1]) > 0
+
+
+def test_streaming_writer_matches_batch(tmp_path):
+    """keep_samples=False streams samples to disk incrementally; the
+    resulting directory parses identically to the batch writer's."""
+    train_in = np.linspace(-1, 1, 9)
+    y = trig(train_in)
+
+    def run(folder, keep):
+        from tensorbnn_tpu.sampler.driver import sample_posterior
+        import jax
+        net = Network(jnp.float32, 1, train_in, y, train_in, y, seed=6)
+        net.add(GaussianDenseLayer(1, 5)).add(Tanh())
+        net.add(GaussianDenseLayer(5, 1))
+        net.setup_mcmc(step_size_start=1e-3, leapfrog_start=8,
+                       leapfrog_min=4, leapfrog_max=16, burnin=10,
+                       averaging_steps=5, hyper_leapfrog=4, random_steps=1,
+                       adapter_seed=3)
+        params, hypers = net.init_state()
+        key = jax.random.split(net.key)[1]
+        return sample_posterior(
+            net.model, FixedGaussianLikelihood(sd=0.1),
+            net.train_x, net.train_y, config=net.config, params=params,
+            hypers=hypers, key=key, epochs=40, sampling_step=2,
+            folder_name=folder, networks_per_file=5,
+            keep_samples=keep, verbose=False)
+
+    f_batch = str(tmp_path / "batch")
+    f_stream = str(tmp_path / "stream")
+    run(f_batch, True)
+    run(f_stream, False)
+
+    _, mats_b, hyp_b = reference_format.load_run(f_batch)
+    _, mats_s, hyp_s = reference_format.load_run(f_stream)
+    assert len(mats_b) == len(mats_s)
+    for mb, ms in zip(mats_b, mats_s):
+        np.testing.assert_allclose(ms, mb, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(hyp_s, hyp_b, rtol=1e-5, atol=1e-6)
+
+    # both load through the Predictor
+    p = Predictor(f_stream, likelihood=FixedGaussianLikelihood(sd=0.1))
+    assert p.n_networks == 15  # 15 samples -> 3 full files of 5
