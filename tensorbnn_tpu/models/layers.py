@@ -27,7 +27,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from typing import Callable, Dict, Tuple
+from typing import Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -182,7 +182,7 @@ class GaussianDenseLayer(_DenseCompute, _DenseRefIO, LayerSpec):
     name: str = "denseGaussian"
     n_ref_param_tensors: int = 2
     n_ref_hyper_scalars: int = 4
-    compute_dtype: str = None  # e.g. "bfloat16" for MXU-native matmuls
+    compute_dtype: Optional[str] = None  # e.g. "bfloat16" (MXU-native)
 
     def init(self, key, dtype=jnp.float32):
         w, b = _he_like_init(key, self.in_dim, self.out_dim, dtype)
@@ -231,7 +231,7 @@ class CauchyDenseLayer(_DenseCompute, _DenseRefIO, LayerSpec):
     name: str = "dense"
     n_ref_param_tensors: int = 2
     n_ref_hyper_scalars: int = 4
-    compute_dtype: str = None  # e.g. "bfloat16" for MXU-native matmuls
+    compute_dtype: Optional[str] = None  # e.g. "bfloat16" (MXU-native)
 
     def _cauchy(self, gamma, x0, x):
         fn = cauchy_logprob if self.proper else cauchy_logprob_compat

@@ -26,7 +26,7 @@ from __future__ import annotations
 
 import functools
 import math
-from typing import List, Optional, Sequence, Tuple
+from typing import Callable, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -212,7 +212,7 @@ def make_fused_likelihood_vg(dims: Sequence[int], acts: Sequence[str],
 def try_build_fused_main_vg(model, likelihood, unravel_theta, unravel_eta,
                             x, y, eta_dim: int,
                             block_c: int = 512,
-                            interpret: bool = False) -> Optional[callable]:
+                            interpret: bool = False) -> Optional[Callable]:
     """Pattern-matches the model and returns a fused batched main_vg, or
     None when the model/likelihood falls outside the kernel's scope.
 
