@@ -213,3 +213,38 @@ def test_streaming_writer_matches_batch(tmp_path):
     # both load through the Predictor
     p = Predictor(f_stream, likelihood=FixedGaussianLikelihood(sd=0.1))
     assert p.n_networks == 15  # 15 samples -> 3 full files of 5
+
+
+def test_reweight_to_different_prior(small_run):
+    """Reweighting Gaussian -> Cauchy priors produces non-uniform weights
+    matching the direct importance-ratio computation."""
+    from tensorbnn_tpu import CauchyDenseLayer
+    net, result, folder, train_in, _ = small_run
+    pred = Predictor(folder, likelihood=FixedGaussianLikelihood(sd=0.1))
+    new_layers = [CauchyDenseLayer(1, 10), Tanh(),
+                  CauchyDenseLayer(10, 10), Tanh(),
+                  CauchyDenseLayer(10, 1)]
+    lik = FixedGaussianLikelihood(sd=0.1)
+    w = pred.reweight(new_layers, train_x=train_in[:, None],
+                      train_y=trig(train_in), likelihood=lik)
+    assert w.shape == (30,)
+    assert w.sum() == pytest.approx(1.0, rel=1e-5)
+    assert w.std() > 0  # genuinely non-uniform
+
+    # oracle for one sample: ratio of hyper-prob sums (likelihood cancels
+    # since it is identical under both priors)
+    import jax
+    from tensorbnn_tpu.models.sequential import Sequential
+    old_m, new_m = pred.model, Sequential(new_layers)
+    p0 = jax.tree.map(lambda v: jnp.asarray(v)[0], pred.param_samples)
+    h0 = jax.tree.map(lambda v: jnp.asarray(v)[0], pred.hyper_samples)
+    log_ratio0 = float(new_m.log_hyper_prior(h0, p0)
+                       - old_m.log_hyper_prior(h0, p0))
+    # w_i proportional to exp(log_ratio_i); check consistency via w0/w1
+    p1 = jax.tree.map(lambda v: jnp.asarray(v)[1], pred.param_samples)
+    h1 = jax.tree.map(lambda v: jnp.asarray(v)[1], pred.hyper_samples)
+    log_ratio1 = float(new_m.log_hyper_prior(h1, p1)
+                       - old_m.log_hyper_prior(h1, p1))
+    np.testing.assert_allclose(np.log(w[0] / w[1]),
+                               log_ratio0 - log_ratio1, rtol=1e-3,
+                               atol=1e-3)
