@@ -249,6 +249,13 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
         keep_samples = projected < (2 << 30)
     writer = None
     if folder_name is not None and not keep_samples:
+        if checkpoint_dir is not None:
+            # resuming would append duplicate networks to the already-
+            # written sample files; buffer in memory for resumable runs
+            raise ValueError(
+                "streaming sample writes (keep_samples=False) cannot be "
+                "combined with checkpoint_dir resume; pass "
+                "keep_samples=True or drop checkpoint_dir")
         writer = reference_format.RunWriter(
             folder_name, model, likelihood, networks_per_file)
         if verbose:
