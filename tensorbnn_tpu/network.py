@@ -113,6 +113,7 @@ class Network:
               use_fused: str = "auto", state_layout: str = "auto",
               checkpoint_dir=None,
               checkpoint_every: int = 0, tracer=None,
+              keep_samples="auto",
               **kwargs) -> RunResult:
         """Runs the sampler (reference ``network.train``, network.py:509).
 
@@ -147,7 +148,7 @@ class Network:
             use_fused=use_fused, state_layout=state_layout,
             checkpoint_dir=checkpoint_dir,
             checkpoint_every=checkpoint_every, tracer=tracer,
-            verbose=verbose)
+            keep_samples=keep_samples, verbose=verbose)
         return self.results
 
     def predict(self, train: bool = True, params: Optional[tuple] = None):

@@ -14,6 +14,17 @@ build's communication layer is a ``jax.sharding.Mesh`` with axes
 Parameter sharding (TP/PP/SP/EP) is deliberately absent: the model family is
 small MLPs that always fit one core's HBM (SURVEY.md #2.2 records this
 decision).
+
+Multi-slice / DCN scope decision (SURVEY.md #2.2 "optional multi-slice over
+DCN"): **single-slice ICI only.** The largest config in BASELINE.json (the
+1M-point surrogate) fits comfortably in one v5e slice — 1M rows x 19 f32
+features is ~76MB, and the per-leapfrog collective is one (scalar, D)-sized
+psum — so crossing DCN would add latency without relieving any resource.
+If a future dataset exceeds one slice's aggregate HBM, the extension is
+mechanical: build the mesh from ``jax.devices()`` spanning slices and put
+the ``data`` axis on the DCN dimension (chains stay intra-slice so the
+per-step psum rides the ICI); nothing in the sampler changes because all
+communication is expressed through this mesh.
 """
 
 from __future__ import annotations

@@ -68,6 +68,10 @@ class ParamAdapter:
         self.sigma = np.diag([1.0 / (kappa * 2.0) ** 2,
                               1.0 / (kappa * 2.0) ** 2])
 
+        if int(m) < 1:
+            raise ValueError(
+                f"averaging steps m must be >= 1, got {m} (an m <= 0 would "
+                f"make epochs_until_next_change loop forever)")
         self.k = float(k)
         self.m = float(m)
         self.a = float(a)
@@ -150,6 +154,10 @@ class ParamAdapter:
             self.e_grid = np.linspace(self.el, self.eu, num=self.e_number)
             self.k = self.k - self.i - 2.0
             self.reset()
+            # the reference's reset() nulls previous_state, so the update
+            # that performed the halving computes no SJD and appends nothing
+            # (paramAdapter.py:148, 216-219) — discard this epoch's SJD too
+            sjd = None
 
         if sjd is not None:
             sjd = float(sjd)
@@ -205,8 +213,17 @@ class ParamAdapter:
         rootbeta = math.sqrt(2.0 * math.log(rootbeta))
 
         if self.i // self.m >= self.random_steps:
-            e, l = self._grid_search(inverse, inverse_r, s, self.p, rootbeta)
-            self.current_e, self.current_l = e, int(l)
+            if not np.isfinite(s):
+                # every recorded SJD is zero (max_r == 0): the GP mean is
+                # 0*inf = NaN and the reference's sequential strict-> scan
+                # over NaN UCBs keeps its initial (el, Ll) candidate
+                # (paramAdapter.py:165-185); select that explicitly instead
+                # of relying on argmax-over-NaN returning index 0
+                self.current_e, self.current_l = self.el, int(self.Ll)
+            else:
+                e, l = self._grid_search(inverse, inverse_r, s, self.p,
+                                         rootbeta)
+                self.current_e, self.current_l = e, int(l)
         else:
             self.current_e = float(self.rng.choice(self.e_grid))
             self.current_l = int(self.rng.choice(self.l_grid))

@@ -1,6 +1,9 @@
 """GP-UCB adapter tests with scripted SJD sequences (SURVEY.md #4)."""
 
+import warnings
+
 import numpy as np
+import pytest
 
 from tensorbnn_tpu.sampler.adapter import ParamAdapter
 
@@ -81,6 +84,40 @@ def test_window_cap_keeps_gp_bounded():
     assert len(ad.previous_gamma) < 50
     assert ad.K.shape[0] == len(ad.previous_gamma)
     assert len(ad.all_data) == len(ad.previous_gamma)
+
+
+def test_averaging_steps_must_be_positive():
+    with pytest.raises(ValueError, match="averaging"):
+        make_adapter(m=0)
+
+
+def test_reset_discards_triggering_epoch_sjd():
+    """The update that performs a strike reset must not append its SJD to
+    the fresh window (the reference's reset() nulls previous_state, so that
+    epoch computes no SJD — paramAdapter.py:148, 216-219)."""
+    ad = make_adapter(m=2, k=100.0, random_steps=0, max_strikes=3)
+    ad.update(None)
+    while ad.n_resets == 0:
+        ad.update(0.0)
+    # the reset call's own SJD (0.0) was discarded, not seeded into the
+    # new cycle's data
+    assert ad.current_data == []
+    # and the strike counter restarted with the window
+    assert ad.strikes == 0
+
+
+def test_all_zero_sjd_window_selects_grid_origin_without_nan():
+    """An all-zero SJD window makes the GP mean 0*inf; the proposal must
+    fall back to the grid origin (el, Ll) explicitly, with no NaN
+    arithmetic (ADVICE round-1)."""
+    ad = make_adapter(m=2, k=100.0, random_steps=0, max_strikes=1000)
+    ad.update(None)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        for _ in range(20):
+            ad.update(0.0)
+    assert ad.current_e == ad.el
+    assert ad.current_l == int(ad.Ll)
 
 
 def test_grid_search_prefers_high_sjd_region():

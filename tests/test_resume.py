@@ -55,3 +55,68 @@ def test_resume_matches_uninterrupted_run(tmp_path):
                                rtol=2e-4, atol=1e-5)
     assert res.final_leapfrog == full.final_leapfrog
     assert res.final_step_size == full.final_step_size
+
+
+def test_resume_with_changed_config_raises(tmp_path):
+    """Resuming under a different MCMCConfig or model silently produces a
+    wrong trajectory; the persisted fingerprint must reject it
+    (VERDICT round-1 weak #3)."""
+    import jax
+    import pytest
+
+    from tensorbnn_tpu.sampler.driver import sample_posterior
+
+    lik = FixedGaussianLikelihood(sd=0.1)
+    ckpt = str(tmp_path / "ckpt")
+    net = _make_net()
+    params, hypers = net.init_state()
+    key = jax.random.split(net.key)[1]
+    common = dict(params=params, hypers=hypers, key=key,
+                  sampling_step=5, adjust_hypers=True, verbose=False,
+                  checkpoint_dir=ckpt, checkpoint_every=1)
+    sample_posterior(net.model, lik, net.train_x, net.train_y,
+                     epochs=40, config=net.config, **common)
+
+    # different burnin -> different adaptation schedule -> refuse
+    bad = _make_net()
+    bad.setup_mcmc(step_size_start=1e-3, leapfrog_start=10, leapfrog_min=5,
+                   leapfrog_max=30, burnin=35, averaging_steps=5,
+                   hyper_leapfrog=5, random_steps=2, adapter_seed=0)
+    with pytest.raises(ValueError, match="config"):
+        sample_posterior(net.model, lik, net.train_x, net.train_y,
+                         epochs=80, config=bad.config, **common)
+
+    # different architecture -> refuse
+    import jax.numpy as jnp2
+    x = np.asarray(net.train_x)[:, 0]
+    other = Network(jnp2.float32, 1, x, np.asarray(net.train_y),
+                    x, np.asarray(net.train_y), seed=5)
+    other.add(GaussianDenseLayer(1, 7)).add(Tanh())
+    other.add(GaussianDenseLayer(7, 1))
+    other.setup_mcmc(step_size_start=1e-3, leapfrog_start=10,
+                     leapfrog_min=5, leapfrog_max=30, burnin=20,
+                     averaging_steps=5, hyper_leapfrog=5, random_steps=2,
+                     adapter_seed=0)
+    p2, h2 = other.init_state()
+    with pytest.raises(ValueError, match="layers|theta_dim"):
+        sample_posterior(other.model, lik, other.train_x, other.train_y,
+                         epochs=80, config=other.config,
+                         params=p2, hypers=h2, key=key, sampling_step=5,
+                         adjust_hypers=True, verbose=False,
+                         checkpoint_dir=ckpt, checkpoint_every=1)
+
+    # same config resumes fine
+    res = sample_posterior(net.model, lik, net.train_x, net.train_y,
+                           epochs=80, config=net.config, **common)
+    assert res.n_epochs == 80
+
+
+def test_discarding_samples_without_folder_raises():
+    """keep_samples=False with no folder would silently lose the posterior
+    (ADVICE round-1 medium)."""
+    import pytest
+
+    lik = FixedGaussianLikelihood(sd=0.1)
+    net = _make_net()
+    with pytest.raises(ValueError, match="keep_samples"):
+        net.train(80, 5, lik, verbose=False, keep_samples=False)
