@@ -1,4 +1,4 @@
-"""Fused Pallas kernel: Gaussian-likelihood MLP value+grad over chain blocks.
+"""Fused Pallas kernel: MLP potential value+grad over chain blocks.
 
 The sampler's hot op is the full-data log-likelihood gradient of a *small*
 dense MLP, evaluated once per leapfrog step for every chain (SURVEY.md #7
@@ -10,16 +10,24 @@ block, so each multiply-add saturates the VPU regardless of how narrow the
 MLP is, and the whole forward+backward runs as ONE kernel per grad eval with
 all intermediates resident in VMEM.
 
-Scope (benchmark-gated, enabled when the model matches): stacks of dense
-layers with tanh/relu/identity activations and a Gaussian likelihood
-(fixed or learned sd). Priors are quadratic in theta and stay in XLA, fused
-into the surrounding scan. Everything else falls back to the vmapped XLA
-potential.
+Scope (benchmark-gated, enabled when the model matches and the working set
+fits VMEM): stacks of dense layers with tanh / relu / sigmoid / elu / exp /
+leaky-relu activations plus the *sampled* Prelu / SquarePrelu slopes
+(reference activationFunctions.py:117-433), under a Gaussian (fixed or
+learned sd) or Bernoulli likelihood (reference likelihood.py:63-243).
+Priors are cheap in theta and stay in XLA, fused into the surrounding scan.
+Everything else falls back to the vmapped XLA potential.
+
+Data-parallel use: the built ``vg`` takes the data batch as *arguments*, so
+under ``shard_map`` it consumes the local shard; ``try_build_fused_main_vg``
+accepts ``axis_name`` and psums the kernel's (value, grad) pair once per
+evaluation — the same collective contract as ``sampler.potential._combine``.
 
 Layout contract: the flat state enters transposed as ``theta_T (D, C)``.
 Row order must match ``ravel_pytree`` of the params tuple — per dense layer,
-bias rows then row-major (in, out) weight rows — which the builder verifies
-against the caller's ``unravel_theta``.
+bias rows then row-major (in, out) weight rows; per trainable activation,
+its slope rows — which the builder verifies against the caller's
+``unravel_theta``.
 """
 
 from __future__ import annotations
@@ -31,152 +39,262 @@ from typing import Callable, List, Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LOG_2PI = math.log(2.0 * math.pi)
+#: Bernoulli probability clip, reference likelihood.py:225-231
+BERN_LO, BERN_HI = 1e-8, 1.0 - 1e-7
+#: VMEM working-set budget for the kernel (leaves headroom out of ~16MB/core
+#: for Mosaic's double-buffered theta/grad blocks)
+VMEM_LIMIT_BYTES = 8 * 1024 * 1024
 
 
-def _activation_fns(name: str):
+# --------------------------------------------------------------------------
+# Op program: a linear pipeline of (kind, ...) tuples
+#
+#   ("dense", d_in, d_out)    rows: d_out bias + d_in*d_out weights
+#   ("tanh"|"relu"|"sigmoid"|"elu"|"exp", d)
+#   ("leakyrelu", d, alpha)   fixed slope, no rows
+#   ("prelu", d)              rows: d sampled slopes
+#   ("sqprelu", d)            rows: d sampled slopes (effective slope s**2)
+# --------------------------------------------------------------------------
+
+def _op_rows(op) -> int:
+    if op[0] == "dense":
+        return op[2] + op[1] * op[2]
+    if op[0] in ("prelu", "sqprelu"):
+        return op[1]
+    return 0
+
+
+def _program_dims(ops) -> Tuple[int, int, int]:
+    """Returns (d0, d_final, total theta rows)."""
+    d0 = ops[0][1] if ops[0][0] == "dense" else ops[0][1]
+    d = d0
+    for op in ops:
+        if op[0] == "dense":
+            d = op[2]
+    return d0, d, sum(_op_rows(op) for op in ops)
+
+
+def _fixed_act(name: str):
+    """Forward + derivative-from-output for parameter-free activations."""
     if name == "tanh":
-        return jnp.tanh, lambda h: 1.0 - h * h          # d/da via h=f(a)
+        return jnp.tanh, lambda h: 1.0 - h * h
     if name == "relu":
         return (lambda a: jnp.maximum(a, 0.0),
                 lambda h: (h > 0.0).astype(h.dtype))
-    if name in ("none", "identity"):
-        return (lambda a: a, lambda h: jnp.ones_like(h))
+    if name == "sigmoid":
+        return jax.nn.sigmoid, lambda h: h * (1.0 - h)
+    if name == "exp":
+        return jnp.exp, lambda h: h
     raise ValueError(f"unsupported fused activation: {name}")
 
 
-def _mlp_kernel(dims: Tuple[int, ...], acts: Tuple[str, ...], n_data: int,
-                theta_ref, x_ref, y_ref, sd_ref, ll_ref, grad_ref):
+def _potential_kernel(ops, n_data: int, lik: str,
+                      theta_ref, x_ref, y_ref, sd_ref, ll_ref, grad_ref):
     """Single chain-block program: forward + manual backward, all in VMEM.
 
     theta_ref: (D, BC); x_ref: (N, d0); y_ref: (N, dK); sd_ref: (1, BC);
     ll_ref out: (1, BC); grad_ref out: (D, BC).
     """
-    n_layers = len(dims) - 1
     bc = theta_ref.shape[1]
     n = n_data
+    d0, _, _ = _program_dims(ops)
 
-    # -- slice weights out of the flat block (rows: b then w per layer) ------
-    offs, bs, ws = [], [], []
-    off = 0
-    for l in range(n_layers):
-        d_in, d_out = dims[l], dims[l + 1]
-        b = theta_ref[pl.ds(off, d_out), :]                    # (d_out, BC)
-        w = theta_ref[pl.ds(off + d_out, d_in * d_out), :]     # (d_in*d_out, BC)
-        offs.append(off)
-        bs.append(b)
-        ws.append(w.reshape(d_in, d_out, bc))
-        off += d_out + d_in * d_out
-
-    # -- forward: planes (N, d, BC) -------------------------------------------
+    # -- forward: planes (N, d, BC); record backward residuals per op --------
     x = x_ref[:]                                               # (N, d0)
-    h = jnp.broadcast_to(x[:, :, None], (n, dims[0], bc))
-    hs = [h]
-    for l in range(n_layers):
-        d_in, d_out = dims[l], dims[l + 1]
-        a = jnp.broadcast_to(bs[l][None, :, :], (n, d_out, bc))
-        for i in range(d_in):
-            a = a + h[:, i:i + 1, :] * ws[l][i][None, :, :]
-        fwd, _ = _activation_fns(acts[l])
-        h = fwd(a)
-        hs.append(h)
+    h = jnp.broadcast_to(x[:, :, None], (n, d0, bc))
+    store = []
+    off = 0
+    for op in ops:
+        kind = op[0]
+        if kind == "dense":
+            d_in, d_out = op[1], op[2]
+            b = theta_ref[pl.ds(off, d_out), :]                # (d_out, BC)
+            w = theta_ref[pl.ds(off + d_out, d_in * d_out), :]
+            w = w.reshape(d_in, d_out, bc)
+            store.append(("dense", h, w, off, d_in, d_out))
+            a = jnp.broadcast_to(b[None, :, :], (n, d_out, bc))
+            for i in range(d_in):
+                a = a + h[:, i:i + 1, :] * w[i][None, :, :]
+            h = a
+            off += d_out + d_in * d_out
+        elif kind == "leakyrelu":
+            alpha = op[2]
+            h = jnp.where(h < 0.0, alpha * h, h)
+            store.append(("leakyrelu", h, alpha))
+        elif kind == "elu":
+            x_in = h
+            h = jnp.where(x_in > 0.0, x_in, jnp.exp(x_in) - 1.0)
+            store.append(("elu", x_in))
+        elif kind in ("prelu", "sqprelu"):
+            d = op[1]
+            s = theta_ref[pl.ds(off, d), :]                    # (d, BC)
+            eff = s * s if kind == "sqprelu" else s
+            x_in = h
+            h = jnp.where(x_in < 0.0, eff[None, :, :] * x_in, x_in)
+            store.append((kind, x_in, s, off, d))
+            off += d
+        else:
+            fwd, _ = _fixed_act(kind)
+            h = fwd(h)
+            store.append((kind, h))
 
-    # -- Gaussian likelihood (reference-exact normalization, see
-    #    distributions.gaussian_logprob: sigma broadcast over preds) ---------
-    sd = sd_ref[0, :]                                          # (BC,)
-    out = hs[-1]                                               # (N, dK, BC)
+    # -- likelihood tail ------------------------------------------------------
+    out = h                                                    # (N, dK, BC)
     y = jnp.broadcast_to(y_ref[:][:, :, None], out.shape)
-    inv_sd = 1.0 / sd
-    resid = (y - out) * inv_sd[None, None, :]
-    quad = jnp.sum(resid * resid, axis=(0, 1))                 # (BC,)
-    k = float(n * dims[-1])
-    ll = -0.5 * (quad + 2.0 * k * jnp.log(sd) + k * LOG_2PI)
-    ll_ref[0, :] = ll
+    if lik == "gaussian":
+        # same clamp as distributions.gaussian_logprob (reference
+        # BNN_functions.py:23-24): keeps fused == XLA if the noise scale
+        # collapses
+        sd = jnp.clip(sd_ref[0, :], 1e-8, 1e8)                 # (BC,)
+        inv_sd = 1.0 / sd
+        resid = (y - out) * inv_sd[None, None, :]
+        quad = jnp.sum(resid * resid, axis=(0, 1))             # (BC,)
+        k = float(out.shape[0] * out.shape[1])
+        ll_ref[0, :] = -0.5 * (quad + 2.0 * k * jnp.log(sd) + k * LOG_2PI)
+        # d ll / d out = (y - out) / sd^2
+        g = (y - out) * (inv_sd * inv_sd)[None, None, :]
+    elif lik == "bernoulli":
+        p = jnp.clip(out, BERN_LO, BERN_HI)
+        ll_ref[0, :] = jnp.sum(y * jnp.log(p) + (1.0 - y) * jnp.log1p(-p),
+                               axis=(0, 1))
+        in_range = (out > BERN_LO) & (out < BERN_HI)
+        g = jnp.where(in_range, y / p - (1.0 - y) / (1.0 - p), 0.0)
+    else:
+        raise ValueError(f"unsupported fused likelihood: {lik}")
 
     # -- backward --------------------------------------------------------------
-    # d ll / d out = (y - out) / sd^2
-    g = (y - out) * (inv_sd * inv_sd)[None, None, :]
-    for l in range(n_layers - 1, -1, -1):
-        d_in, d_out = dims[l], dims[l + 1]
-        _, bwd = _activation_fns(acts[l])
-        g = g * bwd(hs[l + 1])
-        h_prev = hs[l]
-        # db = sum_n g ; dw[i, j] = sum_n h_prev[:, i] * g[:, j]
-        db = jnp.sum(g, axis=0)                                # (d_out, BC)
-        grad_ref[pl.ds(offs[l], d_out), :] = db
-        for i in range(d_in):
-            dw_i = jnp.sum(h_prev[:, i:i + 1, :] * g, axis=0)  # (d_out, BC)
-            grad_ref[pl.ds(offs[l] + d_out + i * d_out, d_out), :] = dw_i
-        if l > 0:
-            # g_prev[:, i] = sum_j g[:, j] * w[i, j]
-            g_prev = [
-                jnp.sum(g * ws[l][i][None, :, :], axis=1, keepdims=True)
-                for i in range(d_in)
-            ]
-            g = jnp.concatenate(g_prev, axis=1)                # (N, d_in, BC)
+    for rec in reversed(store):
+        kind = rec[0]
+        if kind == "dense":
+            _, h_prev, w, off, d_in, d_out = rec
+            # db = sum_n g ; dw[i, j] = sum_n h_prev[:, i] * g[:, j]
+            grad_ref[pl.ds(off, d_out), :] = jnp.sum(g, axis=0)
+            for i in range(d_in):
+                dw_i = jnp.sum(h_prev[:, i:i + 1, :] * g, axis=0)
+                grad_ref[pl.ds(off + d_out + i * d_out, d_out), :] = dw_i
+            if rec is not store[0]:
+                # g_prev[:, i] = sum_j g[:, j] * w[i, j]
+                g_prev = [
+                    jnp.sum(g * w[i][None, :, :], axis=1, keepdims=True)
+                    for i in range(d_in)
+                ]
+                g = jnp.concatenate(g_prev, axis=1)            # (N, d_in, BC)
+        elif kind == "leakyrelu":
+            _, h_out, alpha = rec
+            g = g * jnp.where(h_out < 0.0, alpha, 1.0)
+        elif kind == "elu":
+            _, x_in = rec
+            g = g * jnp.where(x_in > 0.0, 1.0, jnp.exp(x_in))
+        elif kind in ("prelu", "sqprelu"):
+            _, x_in, s, off, d = rec
+            neg_x = jnp.where(x_in < 0.0, x_in, 0.0)
+            d_eff = jnp.sum(neg_x * g, axis=0)                 # (d, BC)
+            if kind == "sqprelu":
+                grad_ref[pl.ds(off, d), :] = 2.0 * s * d_eff
+                eff = s * s
+            else:
+                grad_ref[pl.ds(off, d), :] = d_eff
+                eff = s
+            g = g * jnp.where(x_in < 0.0, eff[None, :, :], 1.0)
+        else:
+            _, h_out = rec
+            _, bwd = _fixed_act(kind)
+            g = g * bwd(h_out)
 
 
-def verify_theta_layout(unravel_theta, dims: Sequence[int]) -> bool:
+def verify_theta_layout(unravel_theta, ops) -> bool:
     """Checks the flat layout matches the kernel's row contract."""
-    d_total = sum(dims[i] * dims[i + 1] + dims[i + 1]
-                  for i in range(len(dims) - 1))
+    _, _, d_total = _program_dims(ops)
     try:
         probe = unravel_theta(jnp.arange(d_total, dtype=jnp.float32))
     except ValueError:
         return False
+    row_ops = [op for op in ops if _op_rows(op)]
     off = 0
-    li = 0
+    oi = 0
     for layer_params in probe:
         if not layer_params:
             continue
-        if set(layer_params) != {"b", "w"}:
+        if oi >= len(row_ops):
             return False
-        d_in, d_out = dims[li], dims[li + 1]
-        b = np.asarray(layer_params["b"])
-        w = np.asarray(layer_params["w"])
-        if b.shape != (d_out,) or w.shape != (d_in, d_out):
-            return False
-        if not np.array_equal(b, np.arange(off, off + d_out)):
-            return False
-        want_w = np.arange(off + d_out,
-                           off + d_out + d_in * d_out).reshape(d_in, d_out)
-        if not np.array_equal(w, want_w):
-            return False
-        off += d_out + d_in * d_out
-        li += 1
-    return li == len(dims) - 1 and off == d_total
+        op = row_ops[oi]
+        if op[0] == "dense":
+            d_in, d_out = op[1], op[2]
+            if set(layer_params) != {"b", "w"}:
+                return False
+            b = np.asarray(layer_params["b"])
+            w = np.asarray(layer_params["w"])
+            if b.shape != (d_out,) or w.shape != (d_in, d_out):
+                return False
+            if not np.array_equal(b, np.arange(off, off + d_out)):
+                return False
+            want_w = np.arange(
+                off + d_out,
+                off + d_out + d_in * d_out).reshape(d_in, d_out)
+            if not np.array_equal(w, want_w):
+                return False
+        else:
+            d = op[1]
+            if set(layer_params) != {"slopes"}:
+                return False
+            s = np.asarray(layer_params["slopes"])
+            if s.shape != (d,) or not np.array_equal(
+                    s, np.arange(off, off + d)):
+                return False
+        off += _op_rows(op)
+        oi += 1
+    return oi == len(row_ops) and off == d_total
 
 
-def make_fused_likelihood_vg(dims: Sequence[int], acts: Sequence[str],
-                             x: jax.Array, y: jax.Array,
-                             block_c: int = 512,
-                             interpret: bool = False):
-    """Builds ``vg(theta (C, D), sd (C,)) -> (ll (C,), grad (C, D))``.
+def kernel_vmem_bytes(ops, n: int, block_c: int) -> int:
+    """Estimated f32 VMEM working set of one kernel program."""
+    d0, dk, d_total = _program_dims(ops)
+    stored = 0   # forward residual plane widths
+    max_d = d0
+    d = d0
+    for op in ops:
+        if op[0] == "dense":
+            stored += op[1]          # input plane kept for dw
+            d = op[2]
+        else:
+            stored += d              # activation residual plane
+        max_d = max(max_d, d)
+    floats = (2 * d_total * block_c            # theta + grad blocks
+              + n * (d0 + dk)                  # x + y
+              + n * block_c * (stored + 2 * max_d))  # residuals + g + temp
+    return 4 * floats
 
-    ``dims`` are the dense widths (d0, ..., dK); ``acts`` the activation
-    after each dense layer ("tanh"/"relu"/"none", the last usually "none").
-    ``sd`` is the per-chain Gaussian noise scale (broadcast a fixed scalar).
+
+def make_fused_potential_vg(ops, n_rows: int, *, lik: str = "gaussian",
+                            block_c: int = 512, interpret: bool = False):
+    """Builds ``vg(theta (C, D), sd (C,), x (N, d0), y (N,|N, dK)) ->
+    (ll (C,), grad (C, D))`` from an op program.
+
+    ``x``/``y`` are call arguments (not closure constants) so the same
+    compiled kernel consumes the *local shard* under ``shard_map``; their row
+    count must equal the static ``n_rows``. ``sd`` is the per-chain Gaussian
+    noise scale (broadcast a fixed scalar; ignored for Bernoulli).
     """
-    dims = tuple(int(d) for d in dims)
-    acts = tuple(acts)
-    n = int(x.shape[0])
-    d_total = sum(dims[i] * dims[i + 1] + dims[i + 1]
-                  for i in range(len(dims) - 1))
-    x = jnp.asarray(x, jnp.float32).reshape(n, dims[0])
-    y = jnp.asarray(y, jnp.float32).reshape(n, dims[-1])
+    ops = tuple(ops)
+    n = int(n_rows)
+    d0, dk, d_total = _program_dims(ops)
+    kernel = functools.partial(_potential_kernel, ops, n, lik)
 
-    kernel = functools.partial(_mlp_kernel, dims, acts, n)
-
-    def vg(thetas: jax.Array, sd: jax.Array):
+    def vg(thetas: jax.Array, sd, x: jax.Array, y: jax.Array):
         c = thetas.shape[0]
         bc = min(block_c, c)
-        if c % bc:
-            raise ValueError(f"chain count {c} must divide block {bc}")
+        while c % bc:
+            bc -= 1
         theta_t = thetas.T                          # (D, C)
-        sd_row = jnp.broadcast_to(jnp.asarray(sd, jnp.float32), (c,))[None]
+        x2 = jnp.asarray(x, jnp.float32).reshape(n, d0)
+        y2 = jnp.asarray(y, jnp.float32).reshape(n, dk)
+        sd_row = jnp.broadcast_to(
+            jnp.asarray(sd, jnp.float32), (c,))[None]
 
         grid = (c // bc,)
         ll, grad_t = pl.pallas_call(
@@ -185,9 +303,9 @@ def make_fused_likelihood_vg(dims: Sequence[int], acts: Sequence[str],
             in_specs=[
                 pl.BlockSpec((d_total, bc), lambda i: (0, i),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((n, dims[0]), lambda i: (0, 0),
+                pl.BlockSpec((n, d0), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((n, dims[-1]), lambda i: (0, 0),
+                pl.BlockSpec((n, dk), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, bc), lambda i: (0, i),
                              memory_space=pltpu.VMEM),
@@ -203,63 +321,114 @@ def make_fused_likelihood_vg(dims: Sequence[int], acts: Sequence[str],
                 jax.ShapeDtypeStruct((d_total, c), jnp.float32),
             ],
             interpret=interpret,
-        )(theta_t, x, y, sd_row)
+        )(theta_t, x2, y2, sd_row)
         return ll[0], grad_t.T
 
     return vg
 
 
-def try_build_fused_main_vg(model, likelihood, unravel_theta, unravel_eta,
-                            x, y, eta_dim: int,
-                            block_c: int = 512,
-                            interpret: bool = False) -> Optional[Callable]:
-    """Pattern-matches the model and returns a fused batched main_vg, or
-    None when the model/likelihood falls outside the kernel's scope.
+def make_fused_likelihood_vg(dims: Sequence[int], acts: Sequence[str],
+                             x: jax.Array, y: jax.Array,
+                             block_c: int = 512,
+                             interpret: bool = False):
+    """Plain dense-stack builder closing over (x, y) — the single-device
+    Gaussian configuration (kept as the kernel-test surface).
 
-    Applies when the model is a stack of plain f32 dense layers with
-    tanh/relu activations (identity tail) under a (Fixed)Gaussian
-    likelihood. The likelihood value+grad comes from the Pallas kernel; the
-    prior terms (quadratic in theta) stay in XLA and fuse into the
-    surrounding scan.
+    ``dims`` are the dense widths (d0, ..., dK); ``acts`` the activation
+    after each dense layer ("tanh"/"relu"/"none", the last usually "none").
     """
-    from tensorbnn_tpu.likelihoods import FixedGaussianLikelihood, \
-        GaussianLikelihood
-    from tensorbnn_tpu.models.layers import Activation, CauchyDenseLayer, \
-        GaussianDenseLayer
+    ops = []
+    for i, a in enumerate(acts):
+        ops.append(("dense", int(dims[i]), int(dims[i + 1])))
+        if a not in ("none", "identity"):
+            ops.append((a, int(dims[i + 1])))
+    vg = make_fused_potential_vg(ops, x.shape[0], lik="gaussian",
+                                 block_c=block_c, interpret=interpret)
+    x = jnp.asarray(x, jnp.float32)
+    y = jnp.asarray(y, jnp.float32)
+    return lambda thetas, sd: vg(thetas, sd, x, y)
 
-    if not isinstance(likelihood, (FixedGaussianLikelihood,
-                                   GaussianLikelihood)):
+
+def _model_program(model, likelihood) -> Optional[Tuple[tuple, str]]:
+    """Pattern-matches (model, likelihood) to an op program, or None."""
+    from tensorbnn_tpu.likelihoods import BernoulliLikelihood, \
+        FixedGaussianLikelihood, GaussianLikelihood
+    from tensorbnn_tpu.models.layers import Activation, CauchyDenseLayer, \
+        GaussianDenseLayer, LeakyRelu, Prelu, SquarePrelu
+
+    if isinstance(likelihood, (FixedGaussianLikelihood, GaussianLikelihood)):
+        lik = "gaussian"
+    elif isinstance(likelihood, BernoulliLikelihood):
+        lik = "bernoulli"
+    else:
         return None
 
-    dims: List[int] = []
-    acts: List[str] = []
+    ops: List[tuple] = []
+    d = None
     for layer in model.layers:
         if isinstance(layer, (GaussianDenseLayer, CauchyDenseLayer)):
             if getattr(layer, "compute_dtype", None) is not None:
                 return None
-            if acts and acts[-1] == "_pending":
-                acts[-1] = "none"  # dense followed dense directly
-            if dims and dims[-1] != layer.in_dim:
+            if d is not None and d != layer.in_dim:
                 return None
-            if not dims:
-                dims.append(layer.in_dim)
-            dims.append(layer.out_dim)
-            acts.append("_pending")
+            ops.append(("dense", int(layer.in_dim), int(layer.out_dim)))
+            d = int(layer.out_dim)
         elif isinstance(layer, Activation):
-            if not acts or acts[-1] != "_pending":
-                return None  # leading or doubled activation
-            if layer.name in ("tanh", "relu"):
-                acts[-1] = layer.name
-            else:
+            if d is None:
                 return None
+            name = {"Exp": "exp"}.get(layer.name, layer.name)
+            if name not in ("tanh", "relu", "sigmoid", "elu", "exp"):
+                return None
+            ops.append((name, d))
+        elif isinstance(layer, LeakyRelu):
+            if d is None:
+                return None
+            ops.append(("leakyrelu", d, float(layer.alpha)))
+        elif isinstance(layer, (Prelu, SquarePrelu)):
+            if d is None or layer.in_dim != d:
+                return None
+            kind = "sqprelu" if isinstance(layer, SquarePrelu) else "prelu"
+            ops.append((kind, d))
         else:
             return None
-    if not dims:
+    if d is None:
         return None
-    acts = ["none" if a == "_pending" else a for a in acts]
+    return tuple(ops), lik
 
-    if not verify_theta_layout(unravel_theta, dims):
+
+def try_build_fused_main_vg(model, likelihood, unravel_theta, unravel_eta,
+                            x, y, eta_dim: int,
+                            block_c: int = 512,
+                            interpret: bool = False,
+                            axis_name: Optional[str] = None,
+                            n_rows: Optional[int] = None,
+                            ) -> Optional[Callable]:
+    """Pattern-matches the model and returns a fused batched main_vg, or
+    None when the model/likelihood falls outside the kernel's scope or the
+    working set exceeds the VMEM budget.
+
+    The returned oracle has signature ``f(thetas (C, D), etas (C, H),
+    x, y) -> ((C,), (C, D))``. The likelihood value+grad comes from the
+    Pallas kernel (psum'd over ``axis_name`` when given — x/y are then the
+    local shards, of ``n_rows`` rows); the prior terms (cheap in theta) stay
+    in XLA and fuse into the surrounding scan.
+    """
+    from tensorbnn_tpu.likelihoods import FixedGaussianLikelihood, \
+        GaussianLikelihood
+
+    matched = _model_program(model, likelihood)
+    if matched is None:
         return None
+    ops, lik = matched
+
+    if not verify_theta_layout(unravel_theta, ops):
+        return None
+
+    n = int(n_rows if n_rows is not None else x.shape[0])
+    if kernel_vmem_bytes(ops, n, min(block_c, 8)) > VMEM_LIMIT_BYTES:
+        return None  # not even the smallest block fits: big-data config
+    while kernel_vmem_bytes(ops, n, block_c) > VMEM_LIMIT_BYTES:
+        block_c //= 2
 
     learned_sd = isinstance(likelihood, GaussianLikelihood)
     if learned_sd:
@@ -270,8 +439,8 @@ def try_build_fused_main_vg(model, likelihood, unravel_theta, unravel_eta,
                 int(np.asarray(lik_hypers["sd_root"])) != eta_dim - 1:
             return None
 
-    fused = make_fused_likelihood_vg(dims, acts, x, y, block_c=block_c,
-                                     interpret=interpret)
+    fused = make_fused_potential_vg(ops, n, lik=lik, block_c=block_c,
+                                    interpret=interpret)
 
     def prior_fn(theta, eta):
         params = unravel_theta(theta)
@@ -281,44 +450,78 @@ def try_build_fused_main_vg(model, likelihood, unravel_theta, unravel_eta,
     prior_vg = jax.vmap(jax.value_and_grad(prior_fn))
 
     if learned_sd:
-        def batched_main_vg(thetas, etas):
-            sd = etas[:, -1] ** 2
-            lv, lg = fused(thetas, sd)
-            pv, pg = prior_vg(thetas, etas)
-            return lv + pv, lg + pg
-    else:
+        def sd_of(etas):
+            return etas[:, -1] ** 2
+    elif isinstance(likelihood, FixedGaussianLikelihood):
         sd_fixed = float(likelihood.sd)
 
-        def batched_main_vg(thetas, etas):
-            lv, lg = fused(thetas, sd_fixed)
-            pv, pg = prior_vg(thetas, etas)
-            return lv + pv, lg + pg
+        def sd_of(etas):
+            return sd_fixed
+    else:
+        def sd_of(etas):
+            return 1.0  # unused by the Bernoulli tail
+
+    def batched_main_vg(thetas, etas, x_in, y_in):
+        lv, lg = fused(thetas, sd_of(etas), x_in, y_in)
+        if axis_name is not None:
+            lv, lg = lax.psum((lv, lg), axis_name)
+        pv, pg = prior_vg(thetas, etas)
+        return lv + pv, lg + pg
 
     return batched_main_vg
 
 
 def reference_likelihood_vg(dims, acts, x, y):
-    """Pure-JAX oracle of the same computation, for kernel tests."""
-    x = jnp.asarray(x, jnp.float32).reshape(-1, dims[0])
-    y = jnp.asarray(y, jnp.float32).reshape(-1, dims[-1])
+    """Pure-JAX oracle of the plain dense-stack Gaussian computation."""
+    ops = []
+    for i, a in enumerate(acts):
+        ops.append(("dense", int(dims[i]), int(dims[i + 1])))
+        if a not in ("none", "identity"):
+            ops.append((a, int(dims[i + 1])))
+    vg = reference_potential_vg(tuple(ops), x, y, lik="gaussian")
+    return vg
+
+
+def reference_potential_vg(ops, x, y, lik: str = "gaussian"):
+    """Pure-JAX oracle of the fused kernel, for tests."""
+    d0, dk, _ = _program_dims(ops)
+    x = jnp.asarray(x, jnp.float32).reshape(-1, d0)
+    y = jnp.asarray(y, jnp.float32).reshape(-1, dk)
     n = x.shape[0]
 
     def single(theta, sd):
         off = 0
         h = x
-        for l in range(len(dims) - 1):
-            d_in, d_out = dims[l], dims[l + 1]
-            b = theta[off:off + d_out]
-            w = theta[off + d_out:off + d_out + d_in * d_out].reshape(
-                d_in, d_out)
-            off += d_out + d_in * d_out
-            a = h @ w + b
-            fwd, _ = _activation_fns(acts[l])
-            h = fwd(a)
-        resid = (y - h) / sd
-        k = n * dims[-1]
-        return -0.5 * (jnp.sum(resid * resid) + 2.0 * k * jnp.log(sd)
-                       + k * LOG_2PI)
+        for op in ops:
+            kind = op[0]
+            if kind == "dense":
+                d_in, d_out = op[1], op[2]
+                b = theta[off:off + d_out]
+                w = theta[off + d_out:off + d_out + d_in * d_out].reshape(
+                    d_in, d_out)
+                off += d_out + d_in * d_out
+                h = h @ w + b
+            elif kind == "leakyrelu":
+                h = jnp.where(h < 0.0, op[2] * h, h)
+            elif kind == "elu":
+                h = jnp.where(h > 0.0, h, jnp.exp(h) - 1.0)
+            elif kind in ("prelu", "sqprelu"):
+                d = op[1]
+                s = theta[off:off + d]
+                off += d
+                eff = s * s if kind == "sqprelu" else s
+                h = jnp.where(h < 0.0, eff[None, :] * h, h)
+            else:
+                fwd, _ = _fixed_act(kind)
+                h = fwd(h)
+        if lik == "gaussian":
+            sd = jnp.clip(sd, 1e-8, 1e8)
+            resid = (y - h) / sd
+            k = n * dk
+            return -0.5 * (jnp.sum(resid * resid) + 2.0 * k * jnp.log(sd)
+                           + k * LOG_2PI)
+        p = jnp.clip(h, BERN_LO, BERN_HI)
+        return jnp.sum(y * jnp.log(p) + (1.0 - y) * jnp.log1p(-p))
 
     def vg(thetas, sd):
         sd = jnp.broadcast_to(jnp.asarray(sd, jnp.float32),

@@ -75,12 +75,17 @@ def make_epoch_fn(model: Sequential, likelihood: Likelihood, x, y,
     ``mu`` is the dual-averaging anchor log(100 * initial hyper step size)
     (reference network.py:248). ``batched_main_vg`` optionally overrides the
     main-block value-and-grad with a natively batched oracle (e.g. a fused
-    Pallas kernel): ``f(thetas (C, D), etas (C, H)) -> ((C,), (C, D))``.
+    Pallas kernel): ``f(thetas (C, D), etas (C, H), x, y) -> ((C,), (C, D))``
+    — it receives this epoch fn's (possibly shard-local) data and handles
+    its own ``axis_name`` psum.
     """
     potentials = make_potentials(model, likelihood, x, y,
                                  unravel_theta, unravel_eta,
                                  axis_name=axis_name)
-    main_vg_b = batched_main_vg or jax.vmap(potentials.main_vg)
+    if batched_main_vg is not None:
+        main_vg_b = lambda ths, etas: batched_main_vg(ths, etas, x, y)  # noqa: E731
+    else:
+        main_vg_b = jax.vmap(potentials.main_vg)
     hyper_vg_b = jax.vmap(potentials.hyper_vg)
 
     def epoch_fn(carry: ChainState, step_size, leapfrog):

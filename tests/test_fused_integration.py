@@ -13,6 +13,8 @@ from tensorbnn_tpu import (
     GaussianLikelihood,
     Prelu,
     Sigmoid,
+    Softmax,
+    SquarePrelu,
     Tanh,
 )
 from tensorbnn_tpu.models.sequential import Sequential
@@ -25,7 +27,7 @@ def _flat(model, lik):
     return flatten_state(params, hypers, lik.init_hypers())
 
 
-def test_detection_accepts_flagship_and_rejects_others():
+def test_detection_scope():
     x = np.zeros((5, 1), np.float32)
     y = np.zeros((5,), np.float32)
 
@@ -44,21 +46,60 @@ def test_detection_accepts_flagship_and_rejects_others():
         flagship, lik2, flat2.unravel_theta, flat2.unravel_eta, x, y,
         eta_dim=flat2.eta.size, interpret=True) is not None
 
-    # Bernoulli -> no
+    # the classification stack (sigmoid head + Bernoulli) now matches
+    # (VERDICT round-1 #4)
     lik3 = BernoulliLikelihood()
     sig = Sequential([GaussianDenseLayer(1, 4), Sigmoid()])
     flat3 = _flat(sig, lik3)
     assert try_build_fused_main_vg(
         sig, lik3, flat3.unravel_theta, flat3.unravel_eta, x, y,
-        eta_dim=max(flat3.eta.size, 1), interpret=True) is None
+        eta_dim=max(flat3.eta.size, 1), interpret=True) is not None
 
-    # Prelu in the stack -> no (sampled activation params)
+    # trainable Prelu slopes now match too
     pre = Sequential([GaussianDenseLayer(1, 4), Prelu(4),
                       GaussianDenseLayer(4, 1)])
     flat4 = _flat(pre, lik)
     assert try_build_fused_main_vg(
         pre, lik, flat4.unravel_theta, flat4.unravel_eta, x, y,
-        eta_dim=flat4.eta.size, interpret=True) is None
+        eta_dim=flat4.eta.size, interpret=True) is not None
+
+    # softmax head stays out of scope
+    soft = Sequential([GaussianDenseLayer(1, 4), Softmax()])
+    flat5 = _flat(soft, lik)
+    assert try_build_fused_main_vg(
+        soft, lik, flat5.unravel_theta, flat5.unravel_eta, x, y,
+        eta_dim=flat5.eta.size, interpret=True) is None
+
+    # huge dataset: VMEM gate rejects (falls back to XLA)
+    assert try_build_fused_main_vg(
+        flagship, lik, flat.unravel_theta, flat.unravel_eta, x, y,
+        eta_dim=flat.eta.size, interpret=True,
+        n_rows=2_000_000) is None
+
+
+def _assert_fused_equals_xla(model, lik, x, y, c=4, theta_scale=0.3,
+                             axis_name=None, n_rows=None):
+    flat = _flat(model, lik)
+    fused = try_build_fused_main_vg(
+        model, lik, flat.unravel_theta, flat.unravel_eta, x, y,
+        eta_dim=flat.eta.size, block_c=c, interpret=True,
+        axis_name=axis_name, n_rows=n_rows)
+    assert fused is not None
+    pots = make_potentials(model, lik, jnp.asarray(x), jnp.asarray(y),
+                           flat.unravel_theta, flat.unravel_eta)
+    xla_vg = jax.vmap(pots.main_vg)
+
+    rng = np.random.default_rng(0)
+    thetas = jnp.asarray(
+        theta_scale * rng.normal(size=(c, flat.theta.size)), jnp.float32)
+    etas = jnp.tile(flat.eta[None], (c, 1))
+
+    lv_f, g_f = fused(thetas, etas, jnp.asarray(x), jnp.asarray(y))
+    lv_x, g_x = xla_vg(thetas, etas)
+    np.testing.assert_allclose(np.asarray(lv_f), np.asarray(lv_x),
+                               rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_x),
+                               rtol=1e-3, atol=1e-3)
 
 
 def test_fused_vg_matches_xla_potential():
@@ -69,23 +110,63 @@ def test_fused_vg_matches_xla_potential():
     model = Sequential([GaussianDenseLayer(1, 10), Tanh(),
                         GaussianDenseLayer(10, 10), Tanh(),
                         GaussianDenseLayer(10, 1)])
+    _assert_fused_equals_xla(model, GaussianLikelihood(sd=0.1), x, y)
+
+
+def test_fused_classification_vg_matches_xla_potential():
+    """SquarePrelu + sigmoid + Bernoulli (the reference's classification
+    stack, docs/ClassificationExample.md) through the fused kernel."""
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(16, 2)).astype(np.float32)
+    y = (rng.uniform(size=(16,)) > 0.5).astype(np.float32)
+    model = Sequential([GaussianDenseLayer(2, 8), SquarePrelu(8),
+                        GaussianDenseLayer(8, 1), Sigmoid()])
+    _assert_fused_equals_xla(model, BernoulliLikelihood(), x, y,
+                             theta_scale=0.5)
+
+
+def test_fused_under_mesh_matches_xla_under_mesh():
+    """Fused+mesh == XLA+mesh: the kernel consumes the local shard and its
+    (value, grad) psum reproduces the full-data potential (VERDICT #2)."""
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+    from tensorbnn_tpu.parallel.mesh import DATA_AXIS, make_mesh
+
+    rng = np.random.default_rng(2)
+    n = 16
+    x = rng.normal(size=(n, 1)).astype(np.float32)
+    y = rng.normal(size=(n,)).astype(np.float32)
+    model = Sequential([GaussianDenseLayer(1, 6), Tanh(),
+                        GaussianDenseLayer(6, 1)])
     lik = GaussianLikelihood(sd=0.1)
     flat = _flat(model, lik)
 
+    n_data = 4
+    mesh = make_mesh(n_chain_devices=2, n_data_devices=n_data,
+                     devices=jax.devices()[:8])
+    local_rows = n // n_data
+
     fused = try_build_fused_main_vg(
         model, lik, flat.unravel_theta, flat.unravel_eta, x, y,
-        eta_dim=flat.eta.size, block_c=4, interpret=True)
-    pots = make_potentials(model, lik, jnp.asarray(x), jnp.asarray(y),
-                           flat.unravel_theta, flat.unravel_eta)
-    xla_vg = jax.vmap(pots.main_vg)
+        eta_dim=flat.eta.size, block_c=2, interpret=True,
+        axis_name=DATA_AXIS, n_rows=local_rows)
+    assert fused is not None
 
     c = 4
     thetas = jnp.asarray(
         0.3 * rng.normal(size=(c, flat.theta.size)), jnp.float32)
     etas = jnp.tile(flat.eta[None], (c, 1))
 
-    lv_f, g_f = fused(thetas, etas)
-    lv_x, g_x = xla_vg(thetas, etas)
+    sharded = shard_map(
+        fused, mesh=mesh,
+        in_specs=(P("chains"), P("chains"), P(DATA_AXIS), P(DATA_AXIS)),
+        out_specs=(P("chains"), P("chains")),
+        check_vma=False)
+    lv_f, g_f = sharded(thetas, etas, jnp.asarray(x), jnp.asarray(y))
+
+    pots = make_potentials(model, lik, jnp.asarray(x), jnp.asarray(y),
+                           flat.unravel_theta, flat.unravel_eta)
+    lv_x, g_x = jax.vmap(pots.main_vg)(thetas, etas)
     np.testing.assert_allclose(np.asarray(lv_f), np.asarray(lv_x),
                                rtol=1e-4, atol=1e-3)
     np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_x),
@@ -106,3 +187,47 @@ def test_sampling_with_fused_kernel_runs():
                     verbose=False, use_fused=True)
     assert np.isfinite(res.theta_samples).all()
     assert 0 < res.main_accept.mean() <= 1.0
+
+
+def test_sampling_with_fused_kernel_under_mesh_runs():
+    """End-to-end driver path: fused potential + (chains, data) mesh."""
+    from tensorbnn_tpu.network import Network
+    from tensorbnn_tpu.parallel.mesh import make_mesh
+
+    x = np.linspace(-1, 1, 8)
+    y = np.sin(x * math.pi)
+    mesh = make_mesh(n_chain_devices=4, n_data_devices=2,
+                     devices=jax.devices()[:8])
+    net = Network(jnp.float32, 1, x, y, x, y, seed=3)
+    net.add(GaussianDenseLayer(1, 6)).add(Tanh())
+    net.add(GaussianDenseLayer(6, 1))
+    net.setup_mcmc(step_size_start=1e-3, leapfrog_start=8, leapfrog_min=4,
+                   leapfrog_max=16, burnin=10, averaging_steps=5,
+                   hyper_leapfrog=4, random_steps=1)
+    res = net.train(30, 4, FixedGaussianLikelihood(sd=0.1), n_chains=8,
+                    mesh=mesh, verbose=False, use_fused=True)
+    assert np.isfinite(res.theta_samples).all()
+    assert 0 < res.main_accept.mean() <= 1.0
+
+
+def test_fused_and_xla_sampling_identical():
+    """With the same key, fused and XLA potentials must produce the same
+    chain (the kernel is numerically equivalent, not just close)."""
+    from tensorbnn_tpu.network import Network
+
+    def run(use_fused):
+        x = np.linspace(-1, 1, 9)
+        y = np.sin(x * math.pi)
+        net = Network(jnp.float32, 1, x, y, x, y, seed=7)
+        net.add(GaussianDenseLayer(1, 6)).add(Tanh())
+        net.add(GaussianDenseLayer(6, 1))
+        net.setup_mcmc(step_size_start=1e-3, leapfrog_start=8,
+                       leapfrog_min=4, leapfrog_max=16, burnin=10,
+                       averaging_steps=5, hyper_leapfrog=4, random_steps=1)
+        return net.train(30, 4, FixedGaussianLikelihood(sd=0.1),
+                         n_chains=2, verbose=False, use_fused=use_fused)
+
+    a = run(True)
+    b = run(False)
+    np.testing.assert_allclose(a.theta_samples, b.theta_samples,
+                               rtol=2e-4, atol=2e-5)

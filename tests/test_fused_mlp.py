@@ -66,5 +66,79 @@ def test_layout_verifier():
                         GaussianDenseLayer(10, 1)])
     params, hypers = model.init(jax.random.key(0))
     flat = flatten_state(params, hypers, {})
-    assert fused_mlp.verify_theta_layout(flat.unravel_theta, (1, 10, 1))
-    assert not fused_mlp.verify_theta_layout(flat.unravel_theta, (1, 9, 1))
+    good = (("dense", 1, 10), ("tanh", 10), ("dense", 10, 1))
+    bad = (("dense", 1, 9), ("tanh", 9), ("dense", 9, 1))
+    assert fused_mlp.verify_theta_layout(flat.unravel_theta, good)
+    assert not fused_mlp.verify_theta_layout(flat.unravel_theta, bad)
+
+
+def test_layout_verifier_with_slopes():
+    from tensorbnn_tpu import GaussianDenseLayer, SquarePrelu
+    from tensorbnn_tpu.models.sequential import Sequential
+    from tensorbnn_tpu.sampler.potential import flatten_state
+
+    model = Sequential([GaussianDenseLayer(2, 6), SquarePrelu(6),
+                        GaussianDenseLayer(6, 1)])
+    params, hypers = model.init(jax.random.key(0))
+    flat = flatten_state(params, hypers, {})
+    good = (("dense", 2, 6), ("sqprelu", 6), ("dense", 6, 1))
+    assert fused_mlp.verify_theta_layout(flat.unravel_theta, good)
+    # wrong slope count
+    bad = (("dense", 2, 6), ("sqprelu", 5), ("dense", 6, 1))
+    assert not fused_mlp.verify_theta_layout(flat.unravel_theta, bad)
+
+
+@pytest.mark.parametrize("kind", ["prelu", "sqprelu", "leakyrelu", "elu",
+                                  "sigmoid", "exp"])
+def test_fused_activation_ops_match_oracle(kind):
+    """Every activation op's forward+backward agrees with jax.grad of the
+    same math (incl. trainable slope rows)."""
+    rng = np.random.default_rng(3)
+    n, c, d = 9, 4, 5
+    op = {"leakyrelu": ("leakyrelu", d, 0.3)}.get(kind, (kind, d))
+    ops = (("dense", 2, d), op, ("dense", d, 1))
+    d_total = sum(fused_mlp._op_rows(o) for o in ops)
+    x = rng.normal(size=(n, 2)).astype(np.float32)
+    y = rng.normal(size=(n, 1)).astype(np.float32)
+    thetas = 0.5 * rng.normal(size=(c, d_total)).astype(np.float32)
+
+    fused = fused_mlp.make_fused_potential_vg(ops, n, lik="gaussian",
+                                              block_c=c, interpret=True)
+    oracle = fused_mlp.reference_potential_vg(ops, x, y, lik="gaussian")
+    ll_f, g_f = fused(jnp.asarray(thetas), 0.1, x, y)
+    ll_o, g_o = oracle(jnp.asarray(thetas), 0.1)
+    np.testing.assert_allclose(np.asarray(ll_f), np.asarray(ll_o),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_o),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_fused_bernoulli_matches_oracle():
+    rng = np.random.default_rng(4)
+    n, c = 13, 4
+    ops = (("dense", 3, 6), ("sqprelu", 6), ("dense", 6, 1),
+           ("sigmoid", 1))
+    d_total = sum(fused_mlp._op_rows(o) for o in ops)
+    x = rng.normal(size=(n, 3)).astype(np.float32)
+    y = (rng.uniform(size=(n, 1)) > 0.5).astype(np.float32)
+    thetas = 0.7 * rng.normal(size=(c, d_total)).astype(np.float32)
+
+    fused = fused_mlp.make_fused_potential_vg(ops, n, lik="bernoulli",
+                                              block_c=c, interpret=True)
+    oracle = fused_mlp.reference_potential_vg(ops, x, y, lik="bernoulli")
+    ll_f, g_f = fused(jnp.asarray(thetas), 1.0, x, y)
+    ll_o, g_o = oracle(jnp.asarray(thetas), 1.0)
+    np.testing.assert_allclose(np.asarray(ll_f), np.asarray(ll_o),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_o),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_vmem_gate():
+    """Big-data configs must be rejected (fall back to XLA) rather than
+    compiled into a VMEM-overflowing kernel."""
+    ops = (("dense", 19, 50), ("tanh", 50), ("dense", 50, 1))
+    small = fused_mlp.kernel_vmem_bytes(ops, 128, 64)
+    big = fused_mlp.kernel_vmem_bytes(ops, 1_000_000, 8)
+    assert small < fused_mlp.VMEM_LIMIT_BYTES
+    assert big > fused_mlp.VMEM_LIMIT_BYTES
