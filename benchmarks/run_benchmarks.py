@@ -5,13 +5,22 @@ headline (trainRegression config); this suite covers the scale-out configs:
 
 * ``wide_deep``  — 10 layers x 256 MLP, 64 vmapped chains on one chip
   (BASELINE.json config 4); reports leapfrog steps/sec and effective
-  TFLOP/s through the MXU.
+  TFLOP/s through the MXU. ``wide_deep_bf16`` re-measures at batch 1024
+  in bfloat16 vs float32 (round-1 PERF_NOTES gap 2).
 * ``surrogate``  — 1M-point synthetic detector-response regression,
   full-batch likelihood (BASELINE.json config 5); single-chip here, the
   data-parallel multi-chip path is exercised by ``__graft_entry__.
-  dryrun_multichip`` and tests/test_parallel.py.
+  dryrun_multichip`` and tests/test_parallel.py. ``surrogate_quality``
+  runs the same config through the full adaptive driver so acceptance
+  lands in a healthy band and reports ESS/sec (the BASELINE metric is
+  steps/sec *at equal ESS*; round-1 PERF_NOTES gap 4).
+* ``classification`` — the reference's classification stack (SquarePrelu +
+  sigmoid + Bernoulli, docs/ClassificationExample.md) with 64 chains,
+  fused Pallas potential vs XLA.
 
-Usage: python benchmarks/run_benchmarks.py [wide_deep|surrogate|all]
+Usage: python benchmarks/run_benchmarks.py
+       [wide_deep|wide_deep_bf16|surrogate|surrogate_quality|
+        classification|ess|all]
 """
 
 import json
@@ -27,7 +36,8 @@ def log(*a):
 
 def _bench_sampler(model, x, y, *, n_chains, leapfrog, hyper_leapfrog,
                    chunk, n_chunks, seed=0, jitter=0.01, step_size=1e-4,
-                   state_layout="flat"):
+                   state_layout="flat", dtype=None, likelihood=None,
+                   use_fused=False):
     import jax
     import jax.numpy as jnp
 
@@ -38,15 +48,28 @@ def _bench_sampler(model, x, y, *, n_chains, leapfrog, hyper_leapfrog,
     )
     from tensorbnn_tpu.sampler.potential import flatten_state
 
-    likelihood = GaussianLikelihood(sd=0.1)
-    params, hypers = model.init(jax.random.key(seed))
-    flat = flatten_state(params, hypers, likelihood.init_hypers())
+    dtype = dtype or jnp.float32
+    x = jnp.asarray(x, dtype)
+    y = jnp.asarray(y, dtype)
+    likelihood = likelihood or GaussianLikelihood(sd=0.1)
+    params, hypers = model.init(jax.random.key(seed), dtype=dtype)
+    flat = flatten_state(params, hypers, likelihood.init_hypers(dtype))
+
+    batched_main_vg = None
+    if use_fused:
+        from tensorbnn_tpu.ops.fused_mlp import try_build_fused_main_vg
+        batched_main_vg = try_build_fused_main_vg(
+            model, likelihood, flat.unravel_theta, flat.unravel_eta,
+            x, y, eta_dim=flat.eta.size, block_c=min(n_chains, 512),
+            interpret=jax.default_backend() != "tpu")
+        if batched_main_vg is None:
+            raise RuntimeError("fused kernel did not match this config")
 
     run = make_multichain_chunk_runner(
         model, likelihood, x, y, flat.unravel_theta, flat.unravel_eta,
         adjust_hypers=True, hyper_leapfrog=hyper_leapfrog, burnin=1e9,
         hyper_step_size_init=1e-4, mesh=None, donate=False,
-        state_layout=state_layout)
+        state_layout=state_layout, batched_main_vg=batched_main_vg)
 
     carry = init_multichain_state(flat.theta, flat.eta,
                                   jax.random.key(seed + 1), 1e-4,
@@ -102,6 +125,91 @@ def bench_wide_deep():
         "unit": "leapfrog steps/sec",
         "approx_tflops": round(tflops, 2),
         "mean_accept": round(acc, 4),
+        "potential": "xla-tree",
+    }))
+
+
+def bench_wide_deep_bf16():
+    """bf16 re-measure at batch 1024 (round-1 PERF_NOTES gap 2): at batch
+    128 the run is not matmul-bound and bf16 was neutral; a larger batch
+    puts more of the step into the MXU where bf16 doubles throughput."""
+    from tensorbnn_tpu import GaussianDenseLayer, Tanh
+    from tensorbnn_tpu.models.sequential import Sequential
+
+    width, depth, batch, n_chains = 256, 10, 1024, 64
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(batch, width)).astype(np.float32)
+    y = rng.normal(size=(batch, 1)).astype(np.float32)
+
+    results = {}
+    for cd in (None, "bfloat16"):
+        layers = []
+        for i in range(depth - 1):
+            layers += [GaussianDenseLayer(width, width, compute_dtype=cd),
+                       Tanh()]
+        layers += [GaussianDenseLayer(width, 1, compute_dtype=cd)]
+        model = Sequential(layers)
+        steps, dt, acc, n_params = _bench_sampler(
+            model, x, y, n_chains=n_chains, leapfrog=20,
+            hyper_leapfrog=5, chunk=5, n_chunks=3, step_size=1e-5,
+            state_layout="tree")
+        results[cd or "float32"] = steps / dt
+        log(f"wide_deep batch={batch} compute_dtype={cd or 'float32'}: "
+            f"{steps / dt:,.0f} steps/sec")
+
+    speedup = results["bfloat16"] / results["float32"]
+    print(json.dumps({
+        "metric": "wide_deep bf16-vs-f32 leapfrog steps/sec "
+                  "(10x256 MLP, batch 1024, 64 chains)",
+        "value": round(results["bfloat16"], 1),
+        "unit": "leapfrog steps/sec",
+        "float32_value": round(results["float32"], 1),
+        "bf16_speedup": round(speedup, 3),
+        "potential": "xla-tree",
+    }))
+
+
+def bench_classification():
+    """The reference's classification stack (SquarePrelu + sigmoid +
+    Bernoulli, docs/ClassificationExample.md:110-163) at 64 chains —
+    fused Pallas potential vs XLA (VERDICT round-1 #4)."""
+    import jax
+
+    from tensorbnn_tpu import BernoulliLikelihood, GaussianDenseLayer, \
+        Sigmoid, SquarePrelu
+    from tensorbnn_tpu.models.sequential import Sequential
+
+    width, n_data, n_chains = 20, 512, 64
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(n_data, 10)).astype(np.float32)
+    y = (x.sum(axis=1) > 0).astype(np.float32)
+    model = Sequential([
+        GaussianDenseLayer(10, width), SquarePrelu(width),
+        GaussianDenseLayer(width, width), SquarePrelu(width),
+        GaussianDenseLayer(width, 1), Sigmoid(),
+    ])
+
+    on_tpu = jax.default_backend() == "tpu"
+    rates = {}
+    for fused in ((True, False) if on_tpu else (False,)):
+        steps, dt, acc, _ = _bench_sampler(
+            model, x, y, n_chains=n_chains, leapfrog=50,
+            hyper_leapfrog=10, chunk=10, n_chunks=5, step_size=5e-4,
+            likelihood=BernoulliLikelihood(), use_fused=fused)
+        rates["fused" if fused else "xla"] = steps / dt
+        log(f"classification {'fused' if fused else 'xla'}: "
+            f"{steps / dt:,.0f} steps/sec, accept {acc:.3f}")
+
+    best = "fused" if "fused" in rates else "xla"
+    print(json.dumps({
+        "metric": "classification leapfrog steps/sec/chip "
+                  "(SquarePrelu+sigmoid+Bernoulli, 3x20 MLP, 64 chains)",
+        "value": round(rates[best], 1),
+        "unit": "leapfrog steps/sec",
+        "potential": best,
+        **({"xla_value": round(rates["xla"], 1),
+            "fused_speedup": round(rates["fused"] / rates["xla"], 3)}
+           if "fused" in rates and "xla" in rates else {}),
     }))
 
 
@@ -139,6 +247,77 @@ def bench_surrogate():
         "unit": "leapfrog steps/sec",
         "likelihood_point_grads_per_sec": round(points_per_sec, 0),
         "mean_accept": round(acc, 4),
+        "potential": "xla-tree",
+    }))
+
+
+def bench_surrogate_quality():
+    """The surrogate config as a *posterior*, not just a throughput number
+    (round-1 PERF_NOTES gap 4): run the full adaptive driver with a step
+    grid at the ~1e-7 scale this 1M-point target needs, assert acceptance
+    lands in a healthy band, and report ESS/sec of a predictive summary."""
+    import jax
+    import jax.numpy as jnp
+
+    from tensorbnn_tpu import GaussianDenseLayer, GaussianLikelihood, Tanh
+    from tensorbnn_tpu.models.sequential import Sequential
+    from tensorbnn_tpu.network import Network
+    from tensorbnn_tpu.sampler.potential import flatten_state
+    from tensorbnn_tpu.utils.autocorr import integrated_time
+
+    n_points, d_in, width = 1_000_000, 8, 64
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(n_points, d_in)).astype(np.float32)
+    y = (np.sin(x.sum(axis=1)) + 0.1 * rng.normal(
+        size=n_points)).astype(np.float32)
+
+    net = Network(jnp.float32, d_in, x, y, x[:256], y[:256], seed=3)
+    net.add(GaussianDenseLayer(d_in, width)).add(Tanh())
+    net.add(GaussianDenseLayer(width, width)).add(Tanh())
+    net.add(GaussianDenseLayer(width, 1))
+    burnin = 200
+    net.setup_mcmc(step_size_start=1e-7, step_size_min=1e-8,
+                   step_size_max=5e-7, step_size_options=40,
+                   leapfrog_start=20, leapfrog_min=5, leapfrog_max=50,
+                   leapfrog_increment=5, hyper_step_size=1e-6,
+                   hyper_leapfrog=5, burnin=burnin, averaging_steps=10,
+                   random_steps=5)
+
+    epochs, sampling_step = 600, 2
+    t0 = time.perf_counter()
+    res = net.train(epochs, sampling_step, GaussianLikelihood(sd=0.1),
+                    verbose=False)
+    dt = time.perf_counter() - t0
+
+    acc = float(res.main_accept[burnin:].mean())
+    # ESS of the predictive mean at a probe point over the sampled chain
+    params, hypers = net.init_state()
+    flat = flatten_state(params, hypers,
+                         GaussianLikelihood(sd=0.1).init_hypers())
+    xq = jnp.asarray(x[:1])
+    series = np.asarray(jax.jit(jax.vmap(
+        lambda th: net.model.apply(flat.unravel_theta(th), xq)[0, 0]))(
+        jnp.asarray(res.theta_samples[:, 0])))
+    tau = integrated_time(series, quiet=True)
+    ess = len(series) / max(float(tau), 1.0) if np.isfinite(tau) \
+        else float(len(series))
+
+    log(f"surrogate_quality: accept {acc:.3f} (target band 0.2-0.99), "
+        f"{len(series)} samples, tau {float(tau):.2f}, ESS {ess:.1f}, "
+        f"{dt:.0f}s wall, final eps {res.final_step_size:.2e}, "
+        f"L {res.final_leapfrog}")
+    print(json.dumps({
+        "metric": "surrogate ESS/sec (1M-point likelihood, adaptive "
+                  "two-block driver, single chip)",
+        "value": round(ess / dt, 4),
+        "unit": "effective samples/sec",
+        "mean_accept_post_burnin": round(acc, 4),
+        "accept_in_band": bool(0.2 <= acc <= 0.99),
+        "ess": round(ess, 1),
+        "wall_seconds": round(dt, 1),
+        "final_step_size": res.final_step_size,
+        "final_leapfrog": res.final_leapfrog,
+        "potential": "xla-tree",
     }))
 
 
@@ -206,8 +385,14 @@ def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     if which in ("wide_deep", "all"):
         bench_wide_deep()
+    if which in ("wide_deep_bf16", "all"):
+        bench_wide_deep_bf16()
     if which in ("surrogate", "all"):
         bench_surrogate()
+    if which in ("surrogate_quality", "all"):
+        bench_surrogate_quality()
+    if which in ("classification", "all"):
+        bench_classification()
     if which in ("ess", "all"):
         bench_ess()
 

@@ -43,7 +43,7 @@ def main():
     from tensorbnn_tpu.network import Network
     from tensorbnn_tpu.predictor import Predictor
     from tensorbnn_tpu.training.pretrain import dense_warm_start, \
-        train_basic_classification
+        squareprelu_warm_start, train_basic_classification
 
     start = time.time()
     x_train, y_train = two_moons(200, seed=0)
@@ -52,18 +52,23 @@ def main():
     width, hidden = 16, 2
     cycles, pre_epochs = (1, 30) if args.smoke else (2, 80)
 
-    weights, biases, _ = train_basic_classification(
+    # pretraining returns all three warm starts; train_slopes=True makes the
+    # activation slope vectors genuinely trained (reference
+    # BNN_functions.py:166-180 contract, ClassificationExample.md:68-126)
+    weights, biases, activations = train_basic_classification(
         hidden, 2, 1, width, cycles, pre_epochs, alpha=0.1,
         train_in=x_train, train_out=y_train,
-        val_in=x_val, val_out=y_val)
+        val_in=x_val, val_out=y_val, train_slopes=True)
 
     net = Network(jnp.float32, 2, x_train, y_train, x_val, y_val, seed=42)
     net.add(GaussianDenseLayer(2, width),
             parameters=dense_warm_start(weights, biases, 0))
-    net.add(SquarePrelu(width, alpha=0.55))
+    net.add(SquarePrelu(width, alpha=0.55),
+            parameters=squareprelu_warm_start(activations, 0))
     net.add(GaussianDenseLayer(width, width),
             parameters=dense_warm_start(weights, biases, 1))
-    net.add(SquarePrelu(width, alpha=0.55))
+    net.add(SquarePrelu(width, alpha=0.55),
+            parameters=squareprelu_warm_start(activations, 1))
     net.add(GaussianDenseLayer(width, 1),
             parameters=dense_warm_start(weights, biases, 2))
     net.add(Sigmoid())

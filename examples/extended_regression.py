@@ -44,11 +44,17 @@ def main():
     width, hidden = 10, 3
     cycles, pre_epochs = (2, 40) if args.smoke else (3, 100)
 
-    # MAP warm start (reference extendedRegression.py:64-108)
-    weights, biases, _ = train_basic_regression(
+    # MAP warm start (reference extendedRegression.py:64-108). All three
+    # return values are consumed: this tanh architecture has no trainable
+    # slopes to feed, so `activations` (per-layer leaky-relu slope vectors)
+    # is checked for shape only — examples/classification.py feeds them
+    # into SquarePrelu warm starts.
+    weights, biases, activations = train_basic_regression(
         hidden, 1, 1, width, cycles, pre_epochs, alpha=0.1,
         train_in=train_in, train_out=train_out,
         val_in=val_in, val_out=val_out, verbose=False)
+    assert len(activations) == hidden
+    assert all(a.shape == (width,) for a in activations)
 
     net = Network(jnp.float32, 1, train_in, train_out, val_in, val_out,
                   seed=1000)

@@ -11,6 +11,12 @@ predictor.py:43-130):
   the reference's column-major layout (W: (out, in), b: (out, 1)).
 * ``hypers{fileIdx}.txt`` — per network, all hyper scalars flattened in
   layer order followed by the likelihood's hypers.
+* ``chains.txt`` (extension, absent in the reference) — one chain index per
+  recorded network in disk order. Written by the streaming multichain
+  writer, whose disk order is time-major (epoch-by-epoch, chains
+  interleaved) while in-memory pooling is chain-major; readers use it to
+  reorder to chain-major so streamed and buffered runs are
+  order-equivalent.
 
 The writer only materializes complete files (the reference's summary is only
 rewritten on file-rotation boundaries, so its counts always describe full
@@ -24,7 +30,7 @@ path is :mod:`tensorbnn_tpu.io.checkpoint`.
 from __future__ import annotations
 
 import os
-from typing import List, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -133,6 +139,7 @@ class RunWriter:
         self._file_idx = 0
         self._files = None
         self._n_hyper_scalars = None
+        self._chain_ids: List[int] = []
 
     def _open_files(self):
         self._files = [
@@ -143,8 +150,11 @@ class RunWriter:
                 os.path.join(self.path, f"hypers{self._file_idx}.txt"),
                 "ab"))
 
-    def append(self, params: tuple, hypers: tuple, lik_hypers: dict):
-        """Appends one network (unstacked pytrees)."""
+    def append(self, params: tuple, hypers: tuple, lik_hypers: dict,
+               chain: int = 0):
+        """Appends one network (unstacked pytrees); ``chain`` records which
+        chain produced it (multichain disk order is time-major)."""
+        self._chain_ids.append(int(chain))
         tensors = ref_state_tensors(self.model, params)
         hyper_vec = ref_hyper_matrix(self.model, self.likelihood,
                                      hypers, lik_hypers)
@@ -175,6 +185,12 @@ class RunWriter:
                 f.write(" ".join(str(s) for s in shape) + "\n")
             f.write(f"{n_complete} {n_files} {self._n_tensors}\n")
             f.write(str(self._n_hyper_scalars or 0))
+        # chain index per kept network (complete files only), if any network
+        # came from a chain other than 0
+        if any(self._chain_ids[:n_complete]):
+            with open(os.path.join(self.path, "chains.txt"), "w") as f:
+                for c in self._chain_ids[:n_complete]:
+                    f.write(f"{c}\n")
 
     def close(self) -> int:
         """Finalizes; returns the number of recorded (complete-file)
@@ -197,12 +213,15 @@ class RunWriter:
         return (self._n_written // self.per_file) * self.per_file
 
 
-def load_run(path: str) -> Tuple[List[str], List[np.ndarray], np.ndarray]:
+def load_run(path: str) -> Tuple[List[str], List[np.ndarray], np.ndarray,
+                                 Optional[np.ndarray]]:
     """Loads a reference-format directory.
 
-    Returns ``(layer_names, matrices, hypers)`` where each entry of
-    ``matrices`` has shape (numNetworks, rows, cols) in reference layout and
-    ``hypers`` has shape (numNetworks, numHypers) (empty second dim if none).
+    Returns ``(layer_names, matrices, hypers, chain_ids)`` where each entry
+    of ``matrices`` has shape (numNetworks, rows, cols) in reference layout,
+    ``hypers`` has shape (numNetworks, numHypers) (empty second dim if none)
+    and ``chain_ids`` is the per-network chain index from ``chains.txt``
+    (None when absent — single-chain or reference-written directories).
     Mirrors the parsing in reference predictor.py:43-113.
     """
     summary = []
@@ -239,7 +258,13 @@ def load_run(path: str) -> Tuple[List[str], List[np.ndarray], np.ndarray]:
     with open(os.path.join(path, "architecture.txt")) as f:
         layer_names = [line.strip() for line in f if line.strip()]
 
-    return layer_names, matrices, hypers
+    chain_ids = None
+    chains_file = os.path.join(path, "chains.txt")
+    if os.path.exists(chains_file):
+        chain_ids = np.loadtxt(chains_file, dtype=np.int64).reshape(-1)
+        chain_ids = chain_ids[:num_networks]
+
+    return layer_names, matrices, hypers, chain_ids
 
 
 def assign_ref_tensors(layers: Sequence, matrices: List[np.ndarray]):

