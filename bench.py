@@ -37,7 +37,8 @@ def main():
     import jax.numpy as jnp
 
     import __graft_entry__ as graft
-    from tensorbnn_tpu.ops.fused_mlp import try_build_fused_main_vg
+    from tensorbnn_tpu.ops.fused_mlp import try_build_fused_main_vg, \
+        try_build_fused_trajectory
     from tensorbnn_tpu.parallel.chains import (
         init_multichain_state,
         make_multichain_chunk_runner,
@@ -51,23 +52,31 @@ def main():
     hyper_leapfrog = 100
     step_size = 1e-3
 
-    # product path: the fused chains-on-lanes Pallas potential (enabled by
-    # 'auto' on TPU in the driver; measured ~1.3-2.9x the XLA potential)
+    # product path (what use_fused='auto' picks on TPU): the full-trajectory
+    # Pallas kernel — all L leapfrog steps of one HMC transition in a single
+    # program — falling back to the per-step fused potential
     fused_vg = None
+    fused_traj = None
     if backend == "tpu":
-        fused_vg = try_build_fused_main_vg(
+        fused_traj = try_build_fused_trajectory(
             model, likelihood, flat.unravel_theta, flat.unravel_eta,
             x, y, eta_dim=flat.eta.size, block_c=64)
-        log(f"fused Pallas potential: {'on' if fused_vg else 'off'}")
+        if fused_traj is None:
+            fused_vg = try_build_fused_main_vg(
+                model, likelihood, flat.unravel_theta, flat.unravel_eta,
+                x, y, eta_dim=flat.eta.size, block_c=64)
+        log(f"fused Pallas: "
+            f"{'trajectory' if fused_traj else 'potential' if fused_vg else 'off'}")
 
-    def make_runner(batched_main_vg=None):
+    def make_runner(batched_main_vg=None, batched_main_traj=None):
         return make_multichain_chunk_runner(
             model, likelihood, x, y, flat.unravel_theta, flat.unravel_eta,
             adjust_hypers=True, hyper_leapfrog=hyper_leapfrog,
             burnin=1000.0, hyper_step_size_init=1e-3, mesh=None,
-            donate=False, batched_main_vg=batched_main_vg)
+            donate=False, batched_main_vg=batched_main_vg,
+            batched_main_traj=batched_main_traj)
 
-    run = make_runner(fused_vg)
+    run = make_runner(fused_vg, fused_traj)
     eps = jnp.asarray(step_size, jnp.float32)
     L = jnp.asarray(leapfrog, jnp.int32)
 

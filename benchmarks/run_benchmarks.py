@@ -179,7 +179,10 @@ def bench_classification():
         Sigmoid, SquarePrelu
     from tensorbnn_tpu.models.sequential import Sequential
 
-    width, n_data, n_chains = 20, 512, 64
+    # (width, n_data) chosen so the fused kernel's VMEM working set fits
+    # (the kernel targets small-data many-chain configs; big data goes to
+    # XLA); chains set to a full 128-lane block
+    width, n_data, n_chains = 16, 64, 128
     rng = np.random.default_rng(2)
     x = rng.normal(size=(n_data, 10)).astype(np.float32)
     y = (x.sum(axis=1) > 0).astype(np.float32)
@@ -200,13 +203,18 @@ def bench_classification():
         log(f"classification {'fused' if fused else 'xla'}: "
             f"{steps / dt:,.0f} steps/sec, accept {acc:.3f}")
 
-    best = "fused" if "fused" in rates else "xla"
+    from tensorbnn_tpu.ops.fused_mlp import _model_program, fused_profitable
+    ops, _ = _model_program(model, BernoulliLikelihood())
+    auto_pick = "fused" if fused_profitable(ops, n_data) else "xla"
+    best = max(rates, key=rates.get)
     print(json.dumps({
         "metric": "classification leapfrog steps/sec/chip "
-                  "(SquarePrelu+sigmoid+Bernoulli, 3x20 MLP, 64 chains)",
+                  f"(SquarePrelu+sigmoid+Bernoulli, 3x{width} MLP, "
+                  f"{n_chains} chains)",
         "value": round(rates[best], 1),
         "unit": "leapfrog steps/sec",
         "potential": best,
+        "driver_auto_picks": auto_pick,
         **({"xla_value": round(rates["xla"], 1),
             "fused_speedup": round(rates["fused"] / rates["xla"], 3)}
            if "fused" in rates and "xla" in rates else {}),

@@ -46,9 +46,16 @@ from jax.experimental.pallas import tpu as pltpu
 LOG_2PI = math.log(2.0 * math.pi)
 #: Bernoulli probability clip, reference likelihood.py:225-231
 BERN_LO, BERN_HI = 1e-8, 1.0 - 1e-7
-#: VMEM working-set budget for the kernel (leaves headroom out of ~16MB/core
-#: for Mosaic's double-buffered theta/grad blocks)
-VMEM_LIMIT_BYTES = 8 * 1024 * 1024
+#: VMEM working-set budget for the kernel (the hardware stack limit is
+#: 16MB/core; the estimate below is tile-padding-aware, so a 12MB budget
+#: leaves headroom for allocator slack)
+VMEM_LIMIT_BYTES = 12 * 1024 * 1024
+#: per-dense-layer temporary budget above which the kernel switches from
+#: statically-unrolled input-row loops (fastest for tiny MLPs — no loop
+#: dependencies, deep VPU pipelining) to a fori_loop that reuses one
+#: (N, d, BC) temporary (Mosaic's stack allocator keeps every unrolled
+#: temporary live simultaneously, observed 41MB for a 3x20 MLP at N=128)
+UNROLL_TEMP_BYTES = 4 * 1024 * 1024
 
 
 # --------------------------------------------------------------------------
@@ -93,16 +100,30 @@ def _fixed_act(name: str):
     raise ValueError(f"unsupported fused activation: {name}")
 
 
+def _fori_dense_dims(ops, n: int, block_c: int):
+    """d_in of every dense op that takes the fori (buffer-reusing) path."""
+    return [op[1] for op in ops
+            if op[0] == "dense"
+            and 4 * op[1] * n * op[2] * block_c > UNROLL_TEMP_BYTES]
+
+
 def _potential_kernel(ops, n_data: int, lik: str,
-                      theta_ref, x_ref, y_ref, sd_ref, ll_ref, grad_ref):
+                      theta_ref, x_ref, y_ref, sd_ref, ll_ref, grad_ref,
+                      *scratch):
     """Single chain-block program: forward + manual backward, all in VMEM.
 
     theta_ref: (D, BC); x_ref: (N, d0); y_ref: (N, dK); sd_ref: (1, BC);
-    ll_ref out: (1, BC); grad_ref out: (D, BC).
+    ll_ref out: (1, BC); grad_ref out: (D, BC). ``scratch`` holds two
+    (N, max_fori_d_in, BC) VMEM buffers when any dense layer takes the
+    fori path (Mosaic supports dynamic slicing on refs, not value arrays,
+    so the input plane is staged through scratch and the loop reads
+    ``pl.ds`` slices of it — and of theta_ref for the weight rows).
     """
     bc = theta_ref.shape[1]
     n = n_data
     d0, _, _ = _program_dims(ops)
+    h_s = scratch[0] if scratch else None
+    gp_s = scratch[1] if scratch else None
 
     # -- forward: planes (N, d, BC); record backward residuals per op --------
     x = x_ref[:]                                               # (N, d0)
@@ -118,8 +139,18 @@ def _potential_kernel(ops, n_data: int, lik: str,
             w = w.reshape(d_in, d_out, bc)
             store.append(("dense", h, w, off, d_in, d_out))
             a = jnp.broadcast_to(b[None, :, :], (n, d_out, bc))
-            for i in range(d_in):
-                a = a + h[:, i:i + 1, :] * w[i][None, :, :]
+            if 4 * d_in * n * d_out * bc <= UNROLL_TEMP_BYTES:
+                for i in range(d_in):
+                    a = a + h[:, i:i + 1, :] * w[i][None, :, :]
+            else:
+                h_s[:, 0:d_in, :] = h
+
+                def fwd_body(i, acc, off=off, d_out=d_out):
+                    h_i = h_s[:, pl.ds(i, 1), :]               # (N, 1, BC)
+                    w_i = theta_ref[pl.ds(off + d_out + i * d_out,
+                                          d_out), :]           # (d_out, BC)
+                    return acc + h_i * w_i[None, :, :]
+                a = lax.fori_loop(0, d_in, fwd_body, a)
             h = a
             off += d_out + d_in * d_out
         elif kind == "leakyrelu":
@@ -172,18 +203,39 @@ def _potential_kernel(ops, n_data: int, lik: str,
         kind = rec[0]
         if kind == "dense":
             _, h_prev, w, off, d_in, d_out = rec
+            first = rec is store[0]
             # db = sum_n g ; dw[i, j] = sum_n h_prev[:, i] * g[:, j]
             grad_ref[pl.ds(off, d_out), :] = jnp.sum(g, axis=0)
-            for i in range(d_in):
-                dw_i = jnp.sum(h_prev[:, i:i + 1, :] * g, axis=0)
-                grad_ref[pl.ds(off + d_out + i * d_out, d_out), :] = dw_i
-            if rec is not store[0]:
-                # g_prev[:, i] = sum_j g[:, j] * w[i, j]
-                g_prev = [
-                    jnp.sum(g * w[i][None, :, :], axis=1, keepdims=True)
-                    for i in range(d_in)
-                ]
-                g = jnp.concatenate(g_prev, axis=1)            # (N, d_in, BC)
+            if 4 * d_in * n * d_out * bc <= UNROLL_TEMP_BYTES:
+                for i in range(d_in):
+                    dw_i = jnp.sum(h_prev[:, i:i + 1, :] * g, axis=0)
+                    grad_ref[pl.ds(off + d_out + i * d_out, d_out), :] = \
+                        dw_i
+                if not first:
+                    # g_prev[:, i] = sum_j g[:, j] * w[i, j]
+                    g_prev = [
+                        jnp.sum(g * w[i][None, :, :], axis=1,
+                                keepdims=True)
+                        for i in range(d_in)
+                    ]
+                    g = jnp.concatenate(g_prev, axis=1)        # (N, d_in, BC)
+            else:
+                h_s[:, 0:d_in, :] = h_prev
+
+                def bwd_body(i, _, g=g, off=off, d_out=d_out, first=first):
+                    h_i = h_s[:, pl.ds(i, 1), :]               # (N, 1, BC)
+                    dw_i = jnp.sum(h_i * g, axis=0)            # (d_out, BC)
+                    grad_ref[pl.ds(off + d_out + i * d_out, d_out), :] = \
+                        dw_i
+                    if not first:
+                        w_i = theta_ref[pl.ds(off + d_out + i * d_out,
+                                              d_out), :]
+                        gp_s[:, pl.ds(i, 1), :] = jnp.sum(
+                            g * w_i[None, :, :], axis=1, keepdims=True)
+                    return 0
+                lax.fori_loop(0, d_in, bwd_body, 0)
+                if not first:
+                    g = gp_s[:, 0:d_in, :]
         elif kind == "leakyrelu":
             _, h_out, alpha = rec
             g = g * jnp.where(h_out < 0.0, alpha, 1.0)
@@ -205,6 +257,286 @@ def _potential_kernel(ops, n_data: int, lik: str,
             _, h_out = rec
             _, bwd = _fixed_act(kind)
             g = g * bwd(h_out)
+
+
+# --------------------------------------------------------------------------
+# Full-trajectory kernel: the WHOLE leapfrog integration of one HMC step in
+# a single Pallas program (SURVEY.md #7 hard part 4, "a fused full leapfrog
+# step for tiny nets"). The position/momentum state stays VMEM-resident
+# across all L gradient evaluations — no kernel-boundary HBM round-trips of
+# the (C, D) state per step, no per-step XLA glue. Scope: statically
+# unrolled dense stacks with parameter-free activations, Gaussian priors
+# (folded in as per-row (mu, 1/sigma^2) planes computed once from eta),
+# Gaussian or Bernoulli likelihood, single shard (a psum cannot run inside
+# a Mosaic kernel, so data-parallel meshes keep the per-step potential).
+# --------------------------------------------------------------------------
+
+def _likelihood_value_vg(ops, n: int, lik: str, q, x, y, sd):
+    """Value-level forward+backward of the likelihood: q (D, BC) -> (ll
+    (BC,), grad (D, BC)). Unrolled layers only (no scratch refs)."""
+    bc = q.shape[1]
+    d0, _, _ = _program_dims(ops)
+    h = jnp.broadcast_to(x[:, :, None], (n, d0, bc))
+    store = []
+    off = 0
+    for op in ops:
+        kind = op[0]
+        if kind == "dense":
+            d_in, d_out = op[1], op[2]
+            b = q[off:off + d_out]
+            w = q[off + d_out:off + d_out + d_in * d_out].reshape(
+                d_in, d_out, bc)
+            store.append(("dense", h, w, off, d_in, d_out))
+            a = jnp.broadcast_to(b[None, :, :], (n, d_out, bc))
+            for i in range(d_in):
+                a = a + h[:, i:i + 1, :] * w[i][None, :, :]
+            h = a
+            off += d_out + d_in * d_out
+        elif kind == "leakyrelu":
+            h = jnp.where(h < 0.0, op[2] * h, h)
+            store.append(("leakyrelu", h, op[2]))
+        elif kind == "elu":
+            x_in = h
+            h = jnp.where(x_in > 0.0, x_in, jnp.exp(x_in) - 1.0)
+            store.append(("elu", x_in))
+        elif kind in ("prelu", "sqprelu"):
+            raise ValueError("trajectory kernel excludes sampled slopes")
+        else:
+            fwd, _ = _fixed_act(kind)
+            h = fwd(h)
+            store.append((kind, h))
+
+    out = h
+    yb = jnp.broadcast_to(y[:, :, None], out.shape)
+    if lik == "gaussian":
+        inv_sd = 1.0 / sd
+        resid = (yb - out) * inv_sd[None, None, :]
+        quad = jnp.sum(resid * resid, axis=(0, 1))
+        k = float(out.shape[0] * out.shape[1])
+        ll = -0.5 * (quad + 2.0 * k * jnp.log(sd) + k * LOG_2PI)
+        g = (yb - out) * (inv_sd * inv_sd)[None, None, :]
+    else:  # bernoulli
+        p = jnp.clip(out, BERN_LO, BERN_HI)
+        ll = jnp.sum(yb * jnp.log(p) + (1.0 - yb) * jnp.log1p(-p),
+                     axis=(0, 1))
+        in_range = (out > BERN_LO) & (out < BERN_HI)
+        g = jnp.where(in_range, yb / p - (1.0 - yb) / (1.0 - p), 0.0)
+
+    blocks = {}
+    for rec in reversed(store):
+        kind = rec[0]
+        if kind == "dense":
+            _, h_prev, w, off, d_in, d_out = rec
+            parts = [jnp.sum(g, axis=0)]                       # db
+            for i in range(d_in):
+                parts.append(jnp.sum(h_prev[:, i:i + 1, :] * g, axis=0))
+            blocks[off] = jnp.concatenate(parts, axis=0)
+            if rec is not store[0]:
+                g_prev = [
+                    jnp.sum(g * w[i][None, :, :], axis=1, keepdims=True)
+                    for i in range(d_in)
+                ]
+                g = jnp.concatenate(g_prev, axis=1)
+        elif kind == "leakyrelu":
+            g = g * jnp.where(rec[1] < 0.0, rec[2], 1.0)
+        elif kind == "elu":
+            g = g * jnp.where(rec[1] > 0.0, 1.0, jnp.exp(rec[1]))
+        else:
+            _, bwd = _fixed_act(kind)
+            g = g * bwd(rec[1])
+    grad = jnp.concatenate([blocks[o] for o in sorted(blocks)], axis=0)
+    return ll, grad
+
+
+def _trajectory_kernel(ops, n: int, lik: str, prior_rows, sd_idx,
+                       sd_const: float,
+                       theta_ref, mom_ref, eta_ref, x_ref, y_ref,
+                       eps_ref, L_ref,
+                       q_out, v_out, lp0_out, lp1_out):
+    """One full HMC trajectory per chain block, all in VMEM.
+
+    theta/mom refs: (D, BC); eta_ref: (H, BC); eps_ref/L_ref: (1, 1) SMEM
+    scalars (traced — changing (eps, L) never recompiles); outputs: final
+    position/momentum (D, BC) and the log posterior at the start/end
+    points (1, BC) for the caller's MH accept. ``prior_rows`` lists
+    (rows, loc_eta_idx, scale_eta_idx) Gaussian-prior blocks covering the
+    whole flat state in row order.
+    """
+    bc = theta_ref.shape[1]
+    eps = eps_ref[0, 0]
+    n_leap = L_ref[0, 0]
+    x = x_ref[:]
+    y = y_ref[:]
+    eta = eta_ref[:]                                           # (H, BC)
+
+    # prior planes: reference-exact gaussian_logprob with scalar sigma per
+    # block (k=1, sd = scale_hyper**2, clamped — distributions.py:39-56)
+    mu_parts, iv_parts = [], []
+    const = jnp.zeros((bc,), jnp.float32)
+    for rows, i_loc, i_scale in prior_rows:
+        loc = eta[i_loc]                                       # (BC,)
+        sig = jnp.clip(eta[i_scale] * eta[i_scale], 1e-8, 1e8)
+        mu_parts.append(jnp.broadcast_to(loc[None, :], (rows, bc)))
+        iv_parts.append(jnp.broadcast_to(
+            (1.0 / (sig * sig))[None, :], (rows, bc)))
+        const = const - 0.5 * (2.0 * jnp.log(sig) + LOG_2PI)
+    mu = jnp.concatenate(mu_parts, axis=0)                     # (D, BC)
+    iv = jnp.concatenate(iv_parts, axis=0)
+
+    if sd_idx is not None:
+        sd = jnp.clip(eta[sd_idx] * eta[sd_idx], 1e-8, 1e8)
+    else:
+        sd = jnp.full((bc,), jnp.float32(sd_const))
+
+    def vg(qv):
+        ll, g = _likelihood_value_vg(ops, n, lik, qv, x, y, sd)
+        dif = qv - mu
+        lp = ll + const - 0.5 * jnp.sum(dif * dif * iv, axis=0)
+        return lp, g - dif * iv
+
+    q = theta_ref[:]
+    lp0, g = vg(q)
+    v = mom_ref[:] + 0.5 * eps * g
+
+    def body(_, carry):
+        q, v, lp, g = carry
+        q = q + eps * v
+        lp, g = vg(q)
+        v = v + eps * g
+        return (q, v, lp, g)
+
+    q, v, lp, g = lax.fori_loop(0, n_leap, body, (q, v, lp0, g))
+    v = v - 0.5 * eps * g                                      # half-kick back
+
+    q_out[:] = q
+    v_out[:] = v
+    lp0_out[0, :] = lp0
+    lp1_out[0, :] = lp
+
+
+def trajectory_vmem_bytes(ops, n: int, block_c: int) -> int:
+    """Trajectory kernel working set: the per-step potential footprint plus
+    the loop carry (q, v, g) and the prior (mu, iv) planes."""
+    _, _, d_total = _program_dims(ops)
+    extra = 5 * _pad(d_total, 8) * _pad(block_c, 128)
+    return kernel_vmem_bytes(ops, n, block_c) + 4 * extra
+
+
+def make_fused_trajectory(ops, n_rows: int, *, lik: str, prior_rows,
+                          sd_idx, sd_const: float, eta_dim: int,
+                          block_c: int = 512, interpret: bool = False):
+    """Builds ``traj(thetas (C,D), etas (C,H), momenta (C,D), x, y, eps,
+    L) -> (q (C,D), v (C,D), lp0 (C,), lp1 (C,))``."""
+    ops = tuple(ops)
+    n = int(n_rows)
+    d0, dk, d_total = _program_dims(ops)
+    kernel = functools.partial(_trajectory_kernel, ops, n, lik,
+                               tuple(prior_rows), sd_idx, float(sd_const))
+
+    def traj(thetas, etas, momenta, x, y, eps, n_leapfrog):
+        c = thetas.shape[0]
+        bc = choose_block_c(c, block_c)
+        x2 = jnp.asarray(x, jnp.float32).reshape(n, d0)
+        y2 = jnp.asarray(y, jnp.float32).reshape(n, dk)
+        eps_arr = jnp.asarray(eps, jnp.float32).reshape(1, 1)
+        l_arr = jnp.asarray(n_leapfrog, jnp.int32).reshape(1, 1)
+
+        grid = (c // bc,)
+        block = lambda r: pl.BlockSpec((r, bc), lambda i: (0, i),  # noqa: E731
+                                       memory_space=pltpu.VMEM)
+        full = lambda r, cdim: pl.BlockSpec((r, cdim), lambda i: (0, 0),  # noqa: E731
+                                            memory_space=pltpu.VMEM)
+        smem = lambda: pl.BlockSpec((1, 1), lambda i: (0, 0),  # noqa: E731
+                                    memory_space=pltpu.SMEM)
+        q_t, v_t, lp0, lp1 = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[block(d_total), block(d_total), block(eta_dim),
+                      full(n, d0), full(n, dk), smem(), smem()],
+            out_specs=[block(d_total), block(d_total), block(1), block(1)],
+            out_shape=[
+                jax.ShapeDtypeStruct((d_total, c), jnp.float32),
+                jax.ShapeDtypeStruct((d_total, c), jnp.float32),
+                jax.ShapeDtypeStruct((1, c), jnp.float32),
+                jax.ShapeDtypeStruct((1, c), jnp.float32),
+            ],
+            interpret=interpret,
+        )(thetas.T, momenta.T, etas.T, x2, y2, eps_arr, l_arr)
+        return q_t.T, v_t.T, lp0[0], lp1[0]
+
+    return traj
+
+
+def try_build_fused_trajectory(model, likelihood, unravel_theta,
+                               unravel_eta, x, y, eta_dim: int,
+                               block_c: int = 512,
+                               interpret: bool = False,
+                               n_rows: Optional[int] = None,
+                               require_profitable: bool = False,
+                               ) -> Optional[Callable]:
+    """Pattern-matches (model, likelihood) for the full-trajectory kernel.
+
+    Scope on top of the per-step kernel's: every parameterized layer must
+    be a GaussianDenseLayer (the prior folds into per-row Gaussian planes),
+    every dense layer small enough to unroll, and the whole working set
+    incl. the trajectory carry must fit VMEM. Returns None otherwise.
+    """
+    from tensorbnn_tpu.likelihoods import BernoulliLikelihood, \
+        FixedGaussianLikelihood, GaussianLikelihood
+    from tensorbnn_tpu.models.layers import GaussianDenseLayer
+
+    matched = _model_program(model, likelihood)
+    if matched is None:
+        return None
+    ops, lik = matched
+    if any(op[0] in ("prelu", "sqprelu") for op in ops):
+        return None
+    if not verify_theta_layout(unravel_theta, ops):
+        return None
+
+    n = int(n_rows if n_rows is not None else x.shape[0])
+    if require_profitable and not fused_profitable(ops, n):
+        return None
+    if _fori_dense_dims(ops, n, min(block_c, 128)):
+        return None  # large layers need the scratch-staged per-step kernel
+    while trajectory_vmem_bytes(ops, n, block_c) > VMEM_LIMIT_BYTES:
+        if block_c <= 128:
+            return None
+        block_c = (block_c // 128 - 1) * 128
+
+    # Gaussian prior blocks, in flat row order, with eta indices probed
+    # from the caller's layout
+    probe_h, probe_l = unravel_eta(jnp.arange(eta_dim, dtype=jnp.float32))
+    prior_rows = []
+    for layer, h in zip(model.layers, probe_h):
+        if not h:
+            continue
+        if not isinstance(layer, GaussianDenseLayer):
+            return None
+        if set(h) != {"b_loc", "b_scale", "w_loc", "w_scale"}:
+            return None
+        prior_rows.append((layer.out_dim,
+                           int(np.asarray(h["b_loc"])),
+                           int(np.asarray(h["b_scale"]))))
+        prior_rows.append((layer.in_dim * layer.out_dim,
+                           int(np.asarray(h["w_loc"])),
+                           int(np.asarray(h["w_scale"]))))
+
+    sd_idx = None
+    sd_const = 1.0
+    if isinstance(likelihood, GaussianLikelihood):
+        if "sd_root" not in probe_l:
+            return None
+        sd_idx = int(np.asarray(probe_l["sd_root"]))
+    elif isinstance(likelihood, FixedGaussianLikelihood):
+        sd_const = float(likelihood.sd)
+    elif not isinstance(likelihood, BernoulliLikelihood):
+        return None
+
+    return make_fused_trajectory(
+        ops, n, lik=lik, prior_rows=prior_rows, sd_idx=sd_idx,
+        sd_const=sd_const, eta_dim=eta_dim, block_c=block_c,
+        interpret=interpret)
 
 
 def verify_theta_layout(unravel_theta, ops) -> bool:
@@ -251,22 +583,82 @@ def verify_theta_layout(unravel_theta, ops) -> bool:
     return oi == len(row_ops) and off == d_total
 
 
-def kernel_vmem_bytes(ops, n: int, block_c: int) -> int:
-    """Estimated f32 VMEM working set of one kernel program."""
-    d0, dk, d_total = _program_dims(ops)
-    stored = 0   # forward residual plane widths
+def choose_block_c(c: int, cap: int) -> int:
+    """Largest Mosaic-legal chain block <= cap: the lane (minor) dimension
+    must be a multiple of 128 or equal to the full array dim, and must
+    divide the chain count."""
+    if cap >= c:
+        return c
+    k = (cap // 128) * 128
+    while k >= 128:
+        if c % k == 0:
+            return k
+        k -= 128
+    return c
+
+
+def _pad(v: int, m: int) -> int:
+    return -(-v // m) * m
+
+
+def fused_profitable(ops, n_rows: int) -> bool:
+    """Whether the chains-on-lanes kernel is expected to beat XLA.
+
+    The kernel wins in the latency-bound tiny regime where XLA's op-by-op
+    lowering puts ~10-wide features on the 128-lane axis (measured 1.3-2.9x
+    on the 3x10/11-point flagship). Once the data x width product grows,
+    XLA's batched-matmul formulation uses the hardware better (measured
+    0.71x at 64 rows x width 16), so ``auto`` mode falls back to XLA above
+    this threshold; ``use_fused=True`` still forces the kernel.
+    """
+    d0, _, _ = _program_dims(ops)
     max_d = d0
-    d = d0
     for op in ops:
         if op[0] == "dense":
-            stored += op[1]          # input plane kept for dw
-            d = op[2]
-        else:
-            stored += d              # activation residual plane
+            max_d = max(max_d, op[2])
+    return n_rows * max_d <= 512
+
+
+def kernel_vmem_bytes(ops, n: int, block_c: int) -> int:
+    """Estimated f32 VMEM working set of one kernel program,
+    **tile-padding-aware**: every buffer's minor dim pads to 128 lanes and
+    its second-minor to 8 sublanes (so 64-chain blocks cost 128 lanes of
+    VMEM — measured 17.0MB real vs a 6.5MB naive estimate on a 3x20 MLP
+    at N=128, BC=64).
+
+    Residual planes (input + every op output, all live through backward)
+    plus the gradient plane plus the worst single layer's temporaries:
+    Mosaic's stack allocator keeps each statically-unrolled input-row
+    temporary live simultaneously, so an unrolled dense layer costs
+    ``d_in`` extra (N, d_out, BC) planes; above ``UNROLL_TEMP_BYTES`` the
+    kernel switches to a fori_loop costing one plane plus the (N, d_in, BC)
+    staging/accumulation buffers.
+    """
+    d0, dk, d_total = _program_dims(ops)
+    bc = _pad(block_c, 128)
+
+    def plane(d):                  # one (N, d, BC) activation plane
+        return n * _pad(d, 8) * bc
+
+    planes = plane(d0)             # the broadcast input plane
+    max_d = d0
+    d = d0
+    max_temp = 0                   # worst single-layer temporary floats
+    for op in ops:
+        if op[0] == "dense":
+            d_in, d_out = op[1], op[2]
+            if 4 * d_in * n * d_out * block_c > UNROLL_TEMP_BYTES:
+                temp = plane(d_out) + 2 * plane(d_in)  # acc + 2x scratch
+            else:
+                temp = d_in * plane(d_out)             # unrolled temps
+            max_temp = max(max_temp, temp)
+            d = d_out
+        planes += plane(d)         # this op's output plane
         max_d = max(max_d, d)
-    floats = (2 * d_total * block_c            # theta + grad blocks
-              + n * (d0 + dk)                  # x + y
-              + n * block_c * (stored + 2 * max_d))  # residuals + g + temp
+    floats = (2 * _pad(d_total, 8) * bc        # theta + grad blocks
+              + n * (_pad(d0, 128) + _pad(dk, 128))  # x + y
+              + planes + 2 * plane(max_d)      # residuals + g + y bcast
+              + max_temp)
     return 4 * floats
 
 
@@ -287,15 +679,17 @@ def make_fused_potential_vg(ops, n_rows: int, *, lik: str = "gaussian",
 
     def vg(thetas: jax.Array, sd, x: jax.Array, y: jax.Array):
         c = thetas.shape[0]
-        bc = min(block_c, c)
-        while c % bc:
-            bc -= 1
+        bc = choose_block_c(c, block_c)
         theta_t = thetas.T                          # (D, C)
         x2 = jnp.asarray(x, jnp.float32).reshape(n, d0)
         y2 = jnp.asarray(y, jnp.float32).reshape(n, dk)
         sd_row = jnp.broadcast_to(
             jnp.asarray(sd, jnp.float32), (c,))[None]
 
+        fori_dins = _fori_dense_dims(ops, n, bc)
+        scratch_shapes = (
+            [pltpu.VMEM((n, max(fori_dins), bc), jnp.float32)] * 2
+            if fori_dins else [])
         grid = (c // bc,)
         ll, grad_t = pl.pallas_call(
             kernel,
@@ -320,6 +714,7 @@ def make_fused_potential_vg(ops, n_rows: int, *, lik: str = "gaussian",
                 jax.ShapeDtypeStruct((1, c), jnp.float32),
                 jax.ShapeDtypeStruct((d_total, c), jnp.float32),
             ],
+            scratch_shapes=scratch_shapes,
             interpret=interpret,
         )(theta_t, x2, y2, sd_row)
         return ll[0], grad_t.T
@@ -402,10 +797,13 @@ def try_build_fused_main_vg(model, likelihood, unravel_theta, unravel_eta,
                             interpret: bool = False,
                             axis_name: Optional[str] = None,
                             n_rows: Optional[int] = None,
+                            require_profitable: bool = False,
                             ) -> Optional[Callable]:
     """Pattern-matches the model and returns a fused batched main_vg, or
-    None when the model/likelihood falls outside the kernel's scope or the
-    working set exceeds the VMEM budget.
+    None when the model/likelihood falls outside the kernel's scope, the
+    working set exceeds the VMEM budget, or (with ``require_profitable``,
+    the driver's ``auto`` mode) the shape is outside the regime where the
+    kernel beats XLA.
 
     The returned oracle has signature ``f(thetas (C, D), etas (C, H),
     x, y) -> ((C,), (C, D))``. The likelihood value+grad comes from the
@@ -425,10 +823,16 @@ def try_build_fused_main_vg(model, likelihood, unravel_theta, unravel_eta,
         return None
 
     n = int(n_rows if n_rows is not None else x.shape[0])
-    if kernel_vmem_bytes(ops, n, min(block_c, 8)) > VMEM_LIMIT_BYTES:
-        return None  # not even the smallest block fits: big-data config
+    if require_profitable and not fused_profitable(ops, n):
+        return None
+    # VMEM-fit gate. Mosaic only allows chain blocks that are multiples of
+    # 128 (or the full chain count), so shrink the cap in 128 steps; when
+    # even a 128-chain block (or the requested full block) cannot fit, fall
+    # back to the XLA potential — big-data configs belong there.
+    if kernel_vmem_bytes(ops, n, min(block_c, 128)) > VMEM_LIMIT_BYTES:
+        return None
     while kernel_vmem_bytes(ops, n, block_c) > VMEM_LIMIT_BYTES:
-        block_c //= 2
+        block_c = (block_c // 128 - 1) * 128 if block_c > 128 else 128
 
     learned_sd = isinstance(likelihood, GaussianLikelihood)
     if learned_sd:

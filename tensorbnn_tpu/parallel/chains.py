@@ -72,6 +72,7 @@ def make_multichain_chunk_runner(model: Sequential, likelihood: Likelihood,
                                  mesh: Optional[Mesh] = None,
                                  donate: bool = True,
                                  batched_main_vg=None,
+                                 batched_main_traj=None,
                                  state_layout: str = "flat"):
     """Builds ``run_chunk(carry, x, y, step_size, leapfrog, n_epochs)`` over
     batched chains.
@@ -126,7 +127,8 @@ def make_multichain_chunk_runner(model: Sequential, likelihood: Likelihood,
                 adjust_hypers=adjust_hypers,
                 hyper_leapfrog=hyper_leapfrog,
                 burnin=burnin, mu=mu, axis_name=axis_name,
-                batched_main_vg=batched_main_vg)
+                batched_main_vg=batched_main_vg,
+                batched_main_traj=batched_main_traj)
 
             def step(c, _):
                 return epoch_fn(c, step_size, leapfrog)

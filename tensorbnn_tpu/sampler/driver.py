@@ -191,6 +191,7 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
     # tests). Under a mesh the kernel consumes the local data shard and its
     # (value, grad) pair is psum'd over the data axis (VERDICT round-1 #2).
     batched_main_vg = None
+    batched_main_traj = None
     on_tpu = jax.default_backend() == "tpu"
     if use_fused is True or (use_fused == "auto" and on_tpu):
         from tensorbnn_tpu.ops.fused_mlp import try_build_fused_main_vg
@@ -205,13 +206,28 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
             axis_name = DATA_AXIS
         block_c = local_chains if (local_chains <= 512
                                    or local_chains % 512) else 512
+        auto = use_fused == "auto"
         batched_main_vg = try_build_fused_main_vg(
             model, likelihood, flat.unravel_theta, flat.unravel_eta,
             x_train, y_train, eta_dim=flat.eta.size,
             block_c=block_c, interpret=not on_tpu,
-            axis_name=axis_name, n_rows=local_rows)
-        if verbose and batched_main_vg is not None:
-            print("fused Pallas potential kernel enabled")
+            axis_name=axis_name, n_rows=local_rows,
+            require_profitable=auto)
+        if mesh is None:
+            # whole-trajectory kernel: all L leapfrog steps in one Pallas
+            # program (single-shard only; a psum cannot run inside it)
+            from tensorbnn_tpu.ops.fused_mlp import \
+                try_build_fused_trajectory
+            batched_main_traj = try_build_fused_trajectory(
+                model, likelihood, flat.unravel_theta, flat.unravel_eta,
+                x_train, y_train, eta_dim=flat.eta.size,
+                block_c=block_c, interpret=not on_tpu,
+                n_rows=local_rows, require_profitable=auto)
+        if verbose:
+            if batched_main_traj is not None:
+                print("fused Pallas trajectory kernel enabled")
+            elif batched_main_vg is not None:
+                print("fused Pallas potential kernel enabled")
 
     # state layout: wide-model and big-data runs skip the per-leapfrog
     # ravel round-trip by keeping the chain state as a pytree inside the
@@ -222,6 +238,7 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
         big_model = flat.theta.size >= 32768
         big_data = int(x_train.shape[0]) >= 65536
         state_layout = ("tree" if (batched_main_vg is None
+                                   and batched_main_traj is None
                                    and (big_model or big_data))
                         else "flat")
 
@@ -237,6 +254,7 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
         # (INVALID_ARGUMENT on the donated carry); opt-in only
         donate=donate,
         batched_main_vg=batched_main_vg,
+        batched_main_traj=batched_main_traj,
         state_layout=state_layout)
 
     carry = init_multichain_state(flat.theta, flat.eta, key,

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 
 from tensorbnn_tpu.likelihoods import Likelihood
 from tensorbnn_tpu.models.sequential import Sequential
-from tensorbnn_tpu.sampler.hmc import hmc_step_batched
+from tensorbnn_tpu.sampler.hmc import HMCResult, hmc_step_batched
 from tensorbnn_tpu.sampler.potential import make_potentials
 
 # Dual-averaging constants, matching reference network.py:241-248.
@@ -68,7 +68,8 @@ def make_epoch_fn(model: Sequential, likelihood: Likelihood, x, y,
                   burnin: float,
                   mu: float,
                   axis_name: Optional[str] = None,
-                  batched_main_vg: Optional[Callable] = None):
+                  batched_main_vg: Optional[Callable] = None,
+                  batched_main_traj: Optional[Callable] = None):
     """Builds ``epoch_fn(carry, step_size, leapfrog) -> (carry, trace_row)``
     over a chain-batched carry.
 
@@ -77,7 +78,10 @@ def make_epoch_fn(model: Sequential, likelihood: Likelihood, x, y,
     main-block value-and-grad with a natively batched oracle (e.g. a fused
     Pallas kernel): ``f(thetas (C, D), etas (C, H), x, y) -> ((C,), (C, D))``
     — it receives this epoch fn's (possibly shard-local) data and handles
-    its own ``axis_name`` psum.
+    its own ``axis_name`` psum. ``batched_main_traj`` goes further: a full
+    leapfrog-trajectory oracle ``f(thetas, etas, momenta, x, y, eps, L) ->
+    (q, v, lp0, lp1)`` (the fused trajectory kernel); the MH accept stays
+    here, drawing the identical PRNG stream as ``hmc_step_batched``.
     """
     potentials = make_potentials(model, likelihood, x, y,
                                  unravel_theta, unravel_eta,
@@ -94,10 +98,32 @@ def make_epoch_fn(model: Sequential, likelihood: Likelihood, x, y,
         eta = carry.eta
 
         # -- main block: HMC over params given current hypers ----------------
-        main = hmc_step_batched(
-            k_main, carry.theta,
-            lambda ths: main_vg_b(ths, eta),
-            step_size, leapfrog)
+        if batched_main_traj is not None:
+            # same per-chain PRNG substreams as hmc_step_batched
+            km2 = jax.vmap(lambda k: jax.random.split(k))(k_main)
+            key_mom, key_mh = km2[:, 0], km2[:, 1]
+            momenta = jax.vmap(
+                lambda k: jax.random.normal(k, carry.theta.shape[1:],
+                                            carry.theta.dtype))(key_mom)
+            q_new, v_new, lp0, lp1 = batched_main_traj(
+                carry.theta, eta, momenta, x, y, step_size, leapfrog)
+            kinetic0 = 0.5 * jnp.sum(momenta * momenta, axis=-1)
+            kinetic1 = 0.5 * jnp.sum(v_new * v_new, axis=-1)
+            lar = (lp1 - lp0) + (kinetic0 - kinetic1)
+            lar = jnp.where(jnp.isnan(lar), -jnp.inf, lar)
+            accept_prob = jnp.minimum(1.0, jnp.exp(lar))
+            log_u = jnp.log(jax.vmap(
+                lambda k: jax.random.uniform(k, (), carry.theta.dtype))(
+                key_mh))
+            accepted = log_u < lar
+            new_theta = jnp.where(accepted[:, None], q_new, carry.theta)
+            main = HMCResult(new_theta, jnp.where(accepted, lp1, lp0),
+                             accept_prob, accepted)
+        else:
+            main = hmc_step_batched(
+                k_main, carry.theta,
+                lambda ths: main_vg_b(ths, eta),
+                step_size, leapfrog)
         theta = main.position
 
         # SJD scaled by L^(-1/2) (reference paramAdapter.py:219-222)

@@ -134,11 +134,50 @@ def test_fused_bernoulli_matches_oracle():
                                rtol=1e-3, atol=1e-4)
 
 
+def test_fori_path_matches_oracle(monkeypatch):
+    """Large dense layers take the fori_loop (buffer-reusing) path; force
+    it on a small config and check it agrees with the oracle."""
+    monkeypatch.setattr(fused_mlp, "UNROLL_TEMP_BYTES", 0)
+    rng = np.random.default_rng(5)
+    n, c = 11, 4
+    ops = (("dense", 3, 7), ("tanh", 7), ("dense", 7, 2))
+    d_total = sum(fused_mlp._op_rows(o) for o in ops)
+    x = rng.normal(size=(n, 3)).astype(np.float32)
+    y = rng.normal(size=(n, 2)).astype(np.float32)
+    thetas = 0.5 * rng.normal(size=(c, d_total)).astype(np.float32)
+
+    fused = fused_mlp.make_fused_potential_vg(ops, n, lik="gaussian",
+                                              block_c=c, interpret=True)
+    oracle = fused_mlp.reference_potential_vg(ops, x, y, lik="gaussian")
+    ll_f, g_f = fused(jnp.asarray(thetas), 0.1, x, y)
+    ll_o, g_o = oracle(jnp.asarray(thetas), 0.1)
+    np.testing.assert_allclose(np.asarray(ll_f), np.asarray(ll_o),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_o),
+                               rtol=1e-3, atol=1e-4)
+
+
 def test_vmem_gate():
     """Big-data configs must be rejected (fall back to XLA) rather than
-    compiled into a VMEM-overflowing kernel."""
+    compiled into a VMEM-overflowing kernel; the estimate is tile-padding
+    aware (lanes pad to 128, sublanes to 8)."""
     ops = (("dense", 19, 50), ("tanh", 50), ("dense", 50, 1))
-    small = fused_mlp.kernel_vmem_bytes(ops, 128, 64)
     big = fused_mlp.kernel_vmem_bytes(ops, 1_000_000, 8)
-    assert small < fused_mlp.VMEM_LIMIT_BYTES
     assert big > fused_mlp.VMEM_LIMIT_BYTES
+    # the flagship config (3x10 tanh, 11 points) comfortably fits even at
+    # wide chain blocks
+    flagship = (("dense", 1, 10), ("tanh", 10), ("dense", 10, 10),
+                ("tanh", 10), ("dense", 10, 10), ("tanh", 10),
+                ("dense", 10, 1))
+    assert fused_mlp.kernel_vmem_bytes(flagship, 11, 512) < \
+        fused_mlp.VMEM_LIMIT_BYTES
+    # the classification bench config (3x16, 64 points) fits; the same
+    # stack at N=128 width 20 measured 17MB real and must be rejected
+    cls16 = (("dense", 10, 16), ("sqprelu", 16), ("dense", 16, 16),
+             ("sqprelu", 16), ("dense", 16, 1), ("sigmoid", 1))
+    cls20 = (("dense", 10, 20), ("sqprelu", 20), ("dense", 20, 20),
+             ("sqprelu", 20), ("dense", 20, 1), ("sigmoid", 1))
+    assert fused_mlp.kernel_vmem_bytes(cls16, 64, 128) < \
+        fused_mlp.VMEM_LIMIT_BYTES
+    assert fused_mlp.kernel_vmem_bytes(cls20, 128, 64) > \
+        fused_mlp.VMEM_LIMIT_BYTES

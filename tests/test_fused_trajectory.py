@@ -1,0 +1,169 @@
+"""Full-trajectory Pallas kernel vs the XLA leapfrog (interpret mode).
+
+The trajectory kernel runs the WHOLE leapfrog integration of one HMC step
+in a single Pallas program; it must reproduce the XLA integrator
+(hmc.leapfrog_batched over the XLA potentials) on identical inputs.
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tensorbnn_tpu import (
+    BernoulliLikelihood,
+    CauchyDenseLayer,
+    FixedGaussianLikelihood,
+    GaussianDenseLayer,
+    GaussianLikelihood,
+    Sigmoid,
+    SquarePrelu,
+    Tanh,
+)
+from tensorbnn_tpu.models.sequential import Sequential
+from tensorbnn_tpu.ops.fused_mlp import try_build_fused_trajectory
+from tensorbnn_tpu.sampler.hmc import leapfrog_batched
+from tensorbnn_tpu.sampler.potential import flatten_state, make_potentials
+
+
+def _setup(model, lik, n=11, d_in=1, seed=0):
+    rng = np.random.default_rng(seed)
+    x = rng.normal(size=(n, d_in)).astype(np.float32)
+    y = rng.normal(size=(n,)).astype(np.float32)
+    if isinstance(lik, BernoulliLikelihood):
+        y = (y > 0).astype(np.float32)
+    params, hypers = model.init(jax.random.key(seed))
+    flat = flatten_state(params, hypers, lik.init_hypers())
+    return x, y, flat
+
+
+def _compare(model, lik, n=11, d_in=1, L=13, eps=1e-2, c=4, seed=0):
+    x, y, flat = _setup(model, lik, n, d_in, seed)
+    traj = try_build_fused_trajectory(
+        model, lik, flat.unravel_theta, flat.unravel_eta, x, y,
+        eta_dim=flat.eta.size, block_c=c, interpret=True)
+    assert traj is not None
+
+    rng = np.random.default_rng(seed + 1)
+    thetas = jnp.asarray(
+        0.3 * rng.normal(size=(c, flat.theta.size)), jnp.float32)
+    etas = jnp.tile(flat.eta[None], (c, 1))
+    momenta = jnp.asarray(
+        rng.normal(size=thetas.shape), jnp.float32)
+
+    q_f, v_f, lp0_f, lp1_f = traj(thetas, etas, momenta, x, y,
+                                  jnp.asarray(eps, jnp.float32),
+                                  jnp.asarray(L, jnp.int32))
+
+    pots = make_potentials(model, lik, jnp.asarray(x), jnp.asarray(y),
+                           flat.unravel_theta, flat.unravel_eta)
+    vg = jax.vmap(pots.main_vg)
+    lp0_x, _ = vg(thetas, etas)
+    q_x, v_x, lp1_x, _ = leapfrog_batched(
+        lambda ths: vg(ths, etas), thetas, momenta,
+        jnp.asarray(eps, jnp.float32), jnp.asarray(L, jnp.int32))
+
+    np.testing.assert_allclose(np.asarray(lp0_f), np.asarray(lp0_x),
+                               rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(q_f), np.asarray(q_x),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(v_f), np.asarray(v_x),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(lp1_f), np.asarray(lp1_x),
+                               rtol=1e-4, atol=1e-2)
+
+
+def test_trajectory_matches_xla_fixed_gaussian():
+    model = Sequential([GaussianDenseLayer(1, 10), Tanh(),
+                        GaussianDenseLayer(10, 10), Tanh(),
+                        GaussianDenseLayer(10, 1)])
+    _compare(model, FixedGaussianLikelihood(sd=0.1))
+
+
+def test_trajectory_matches_xla_learned_sd():
+    model = Sequential([GaussianDenseLayer(2, 8), Tanh(),
+                        GaussianDenseLayer(8, 1)])
+    _compare(model, GaussianLikelihood(sd=0.2), d_in=2, L=7)
+
+
+def test_trajectory_matches_xla_bernoulli():
+    model = Sequential([GaussianDenseLayer(2, 6), Tanh(),
+                        GaussianDenseLayer(6, 1), Sigmoid()])
+    _compare(model, BernoulliLikelihood(), d_in=2, L=9, eps=5e-2)
+
+
+def test_trajectory_leapfrog_count_is_traced():
+    """Different L through the same built trajectory — both match XLA."""
+    model = Sequential([GaussianDenseLayer(1, 6), Tanh(),
+                        GaussianDenseLayer(6, 1)])
+    for L in (3, 17):
+        _compare(model, FixedGaussianLikelihood(sd=0.1), L=L)
+
+
+def test_trajectory_scope_rejections():
+    x = np.zeros((5, 1), np.float32)
+    y = np.zeros((5,), np.float32)
+    lik = FixedGaussianLikelihood(sd=0.1)
+
+    # Cauchy priors are not foldable into Gaussian planes
+    cauchy = Sequential([CauchyDenseLayer(1, 4)])
+    p, h = cauchy.init(jax.random.key(0))
+    flat = flatten_state(p, h, {})
+    assert try_build_fused_trajectory(
+        cauchy, lik, flat.unravel_theta, flat.unravel_eta, x, y,
+        eta_dim=flat.eta.size, interpret=True) is None
+
+    # sampled slopes excluded
+    sq = Sequential([GaussianDenseLayer(1, 4), SquarePrelu(4),
+                     GaussianDenseLayer(4, 1)])
+    p2, h2 = sq.init(jax.random.key(0))
+    flat2 = flatten_state(p2, h2, {})
+    assert try_build_fused_trajectory(
+        sq, lik, flat2.unravel_theta, flat2.unravel_eta, x, y,
+        eta_dim=flat2.eta.size, interpret=True) is None
+
+    # big data rejected by the VMEM gate
+    ok = Sequential([GaussianDenseLayer(1, 4), Tanh(),
+                     GaussianDenseLayer(4, 1)])
+    p3, h3 = ok.init(jax.random.key(0))
+    flat3 = flatten_state(p3, h3, {})
+    assert try_build_fused_trajectory(
+        ok, lik, flat3.unravel_theta, flat3.unravel_eta, x, y,
+        eta_dim=flat3.eta.size, interpret=True,
+        n_rows=5_000_000) is None
+
+
+def test_sampling_with_trajectory_matches_potential_path():
+    """Full driver runs: trajectory kernel vs per-step fused potential vs
+    XLA, identical PRNG streams -> identical chains (within float drift)."""
+    from tensorbnn_tpu.network import Network
+    from tensorbnn_tpu.ops import fused_mlp
+
+    x = np.linspace(-1, 1, 9)
+    y = np.sin(x * math.pi)
+
+    def run(traj_on):
+        orig = fused_mlp.try_build_fused_trajectory
+        if not traj_on:
+            drv_patch = lambda *a, **k: None  # noqa: E731
+            fused_mlp.try_build_fused_trajectory = drv_patch
+        try:
+            net = Network(jnp.float32, 1, x, y, x, y, seed=11)
+            net.add(GaussianDenseLayer(1, 6)).add(Tanh())
+            net.add(GaussianDenseLayer(6, 1))
+            net.setup_mcmc(step_size_start=1e-3, leapfrog_start=8,
+                           leapfrog_min=4, leapfrog_max=16, burnin=10,
+                           averaging_steps=5, hyper_leapfrog=4,
+                           random_steps=1)
+            return net.train(30, 4, FixedGaussianLikelihood(sd=0.1),
+                             n_chains=2, verbose=False, use_fused=True)
+        finally:
+            fused_mlp.try_build_fused_trajectory = orig
+
+    a = run(True)
+    b = run(False)
+    np.testing.assert_allclose(a.theta_samples, b.theta_samples,
+                               rtol=2e-3, atol=2e-4)
+    assert 0 < a.main_accept.mean() <= 1.0
