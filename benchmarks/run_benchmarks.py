@@ -279,13 +279,25 @@ def bench_surrogate_quality():
     y = (np.sin(x.sum(axis=1)) + 0.1 * rng.normal(
         size=n_points)).astype(np.float32)
 
+    # MAP warm start (big-batch pretrain on TPU) so burn-in starts near the
+    # mode and the adapter's step search is about curvature, not transit
+    from tensorbnn_tpu.training.pretrain import dense_warm_start, \
+        train_basic_regression
+    w, b, _ = train_basic_regression(
+        2, d_in, 1, width, cycles=1, epochs=4, alpha=0.1,
+        train_in=x, train_out=y, val_in=x[:4096], val_out=y[:4096],
+        batch_size=8192, callbacks=False, hidden_activation="tanh")
+
     net = Network(jnp.float32, d_in, x, y, x[:256], y[:256], seed=3)
-    net.add(GaussianDenseLayer(d_in, width)).add(Tanh())
-    net.add(GaussianDenseLayer(width, width)).add(Tanh())
-    net.add(GaussianDenseLayer(width, 1))
+    net.add(GaussianDenseLayer(d_in, width),
+            parameters=dense_warm_start(w, b, 0)).add(Tanh())
+    net.add(GaussianDenseLayer(width, width),
+            parameters=dense_warm_start(w, b, 1)).add(Tanh())
+    net.add(GaussianDenseLayer(width, 1),
+            parameters=dense_warm_start(w, b, 2))
     burnin = 200
     net.setup_mcmc(step_size_start=1e-7, step_size_min=1e-8,
-                   step_size_max=5e-7, step_size_options=40,
+                   step_size_max=2e-6, step_size_options=40,
                    leapfrog_start=20, leapfrog_min=5, leapfrog_max=50,
                    leapfrog_increment=5, hyper_step_size=1e-6,
                    hyper_leapfrog=5, burnin=burnin, averaging_steps=10,
@@ -329,10 +341,12 @@ def bench_surrogate_quality():
     }))
 
 
-def bench_ess():
+def bench_ess(n_chains: int = 64):
     """ESS/sec on the flagship config — the BASELINE quality-adjusted
     throughput metric (leapfrog throughput is meaningless if the chain
-    doesn't decorrelate)."""
+    doesn't decorrelate). ``n_chains`` scales the fleet: chains decorrelate
+    independently, so ESS grows linearly while wall time grows sublinearly
+    until the chain blocks fill the 128-lane axis."""
     import math
 
     import jax
@@ -358,7 +372,6 @@ def bench_ess():
                    leapfrog_increment=5, hyper_step_size=1e-3,
                    hyper_leapfrog=30, burnin=300, averaging_steps=10,
                    random_steps=5)
-    n_chains = 64
     t0 = time.perf_counter()
     res = net.train(1300, 2, FixedGaussianLikelihood(sd=0.1),
                     n_chains=n_chains, chain_jitter=0.05, verbose=False)
@@ -381,7 +394,8 @@ def bench_ess():
     log(f"ess: {total_ess:.1f} effective samples across {n_chains} chains "
         f"in {dt:.1f}s wall (incl. compile)")
     print(json.dumps({
-        "metric": "ESS/sec (predictive summary, 64 chains, flagship MLP)",
+        "metric": f"ESS/sec (predictive summary, {n_chains} chains, "
+                  f"flagship MLP)",
         "value": round(total_ess / dt, 2),
         "unit": "effective samples/sec",
         "total_ess": round(total_ess, 1),
@@ -403,6 +417,8 @@ def main():
         bench_classification()
     if which in ("ess", "all"):
         bench_ess()
+    if which == "ess512":
+        bench_ess(512)
 
 
 if __name__ == "__main__":

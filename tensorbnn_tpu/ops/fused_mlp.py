@@ -416,9 +416,13 @@ def _trajectory_kernel(ops, n: int, lik: str, prior_rows, sd_idx,
 
 def trajectory_vmem_bytes(ops, n: int, block_c: int) -> int:
     """Trajectory kernel working set: the per-step potential footprint plus
-    the loop carry (q, v, g) and the prior (mu, iv) planes."""
+    the fori carry (q, v, g — double-buffered across the loop boundary by
+    Mosaic), the prior (mu, iv) planes, and the gradient-assembly
+    concatenation temporaries. Calibrated against a measured 17.6MB real
+    footprint for a 4x10 stack at N=11, BC=512 (12 x (D, BC) planes on top
+    of the per-step estimate)."""
     _, _, d_total = _program_dims(ops)
-    extra = 5 * _pad(d_total, 8) * _pad(block_c, 128)
+    extra = 12 * _pad(d_total, 8) * _pad(block_c, 128)
     return kernel_vmem_bytes(ops, n, block_c) + 4 * extra
 
 

@@ -36,14 +36,18 @@ def _mlp_init(key, dims: List[int], dtype=jnp.float32):
     return params
 
 
-def _mlp_apply(params, x, alpha: float, final_sigmoid: bool):
+def _mlp_apply(params, x, alpha: float, final_sigmoid: bool,
+               hidden_activation: str = "leakyrelu"):
     dense = params["dense"]
     slopes = params.get("slopes")
     for i, p in enumerate(dense):
         x = x @ p["w"] + p["b"]
         if i < len(dense) - 1:
-            s = slopes[i] if slopes is not None else alpha
-            x = jnp.where(x < 0, s * x, x)
+            if hidden_activation == "tanh":
+                x = jnp.tanh(x)
+            else:
+                s = slopes[i] if slopes is not None else alpha
+                x = jnp.where(x < 0, s * x, x)
     if final_sigmoid:
         x = jax.nn.sigmoid(x)
     return x
@@ -55,7 +59,8 @@ def _train_mlp(hidden: int, input_dims: int, output_dims: int, width: int,
                classification: bool, base_lr: float,
                patience: int = 10, batch_size: int = 32, seed: int = 1000,
                callbacks: bool = True, verbose: bool = False,
-               train_slopes: bool = False):
+               train_slopes: bool = False,
+               hidden_activation: str = "leakyrelu"):
     dtype = jnp.float32
     x = jnp.asarray(train_in, dtype).reshape(len(train_in), input_dims)
     y = jnp.asarray(train_out, dtype).reshape(len(train_out), output_dims)
@@ -75,7 +80,7 @@ def _train_mlp(hidden: int, input_dims: int, output_dims: int, width: int,
                             for _ in range(hidden)]
 
     def loss_fn(p, bx, by):
-        preds = _mlp_apply(p, bx, alpha, classification)
+        preds = _mlp_apply(p, bx, alpha, classification, hidden_activation)
         if classification:
             eps = 1e-7
             preds = jnp.clip(preds, eps, 1 - eps)
@@ -151,7 +156,9 @@ def train_basic_regression(hidden: int, input_dims: int, output_dims: int,
                            name: str = None, callbacks: bool = True,
                            patience: int = 10, seed: int = 1000,
                            verbose: bool = False,
-                           train_slopes: bool = False
+                           train_slopes: bool = False,
+                           batch_size: int = 32,
+                           hidden_activation: str = "leakyrelu"
                            ) -> Tuple[list, list, list]:
     """MAP-pretrains a regression MLP; returns (weights, biases, activations)
     in the reference layout (W: (out, in), b: (out, 1), one slope vector per
@@ -170,7 +177,9 @@ def train_basic_regression(hidden: int, input_dims: int, output_dims: int,
                       alpha, train_in, train_out, val_in, val_out,
                       classification=False, base_lr=0.01,
                       patience=patience, seed=seed, callbacks=callbacks,
-                      verbose=verbose, train_slopes=train_slopes)
+                      verbose=verbose, train_slopes=train_slopes,
+                      batch_size=batch_size,
+                      hidden_activation=hidden_activation)
 
 
 def train_basic_classification(hidden: int, input_dims: int,
