@@ -107,7 +107,8 @@ def make_multichain_chunk_runner(model: Sequential, likelihood: Likelihood,
                     burnin=burnin, mu=mu,
                     unravel_theta=unravel_theta,
                     theta_dim=carry.theta.shape[-1],
-                    axis_name=axis_name)
+                    axis_name=axis_name,
+                    eta_dim=carry.eta.shape[-1])
                 tree_carry = carry._replace(theta=unravel_b(carry.theta))
 
                 def step(c, _):
@@ -128,7 +129,8 @@ def make_multichain_chunk_runner(model: Sequential, likelihood: Likelihood,
                 hyper_leapfrog=hyper_leapfrog,
                 burnin=burnin, mu=mu, axis_name=axis_name,
                 batched_main_vg=batched_main_vg,
-                batched_main_traj=batched_main_traj)
+                batched_main_traj=batched_main_traj,
+                eta_dim=carry.eta.shape[-1])
 
             def step(c, _):
                 return epoch_fn(c, step_size, leapfrog)

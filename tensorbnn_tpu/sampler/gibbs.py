@@ -69,7 +69,8 @@ def make_epoch_fn(model: Sequential, likelihood: Likelihood, x, y,
                   mu: float,
                   axis_name: Optional[str] = None,
                   batched_main_vg: Optional[Callable] = None,
-                  batched_main_traj: Optional[Callable] = None):
+                  batched_main_traj: Optional[Callable] = None,
+                  eta_dim: Optional[int] = None):
     """Builds ``epoch_fn(carry, step_size, leapfrog) -> (carry, trace_row)``
     over a chain-batched carry.
 
@@ -91,6 +92,18 @@ def make_epoch_fn(model: Sequential, likelihood: Likelihood, x, y,
     else:
         main_vg_b = jax.vmap(potentials.main_vg)
     hyper_vg_b = jax.vmap(potentials.hyper_vg)
+
+    # sufficient-stats hyper potential: theta is fixed during the hyper
+    # block, so its quadratic reductions (and the coupled likelihood's
+    # full-data term) are computed once per epoch instead of once per
+    # hyper leapfrog step (sampler/hyper_stats.py; exact, not approximate)
+    stats_pair = None
+    if adjust_hypers and eta_dim is not None:
+        from tensorbnn_tpu.sampler.hyper_stats import make_stats_hyper
+        stats_pair = make_stats_hyper(model, likelihood, x, y,
+                                      unravel_eta, eta_dim,
+                                      axis_name=axis_name)
+    unravel_theta_b = jax.vmap(unravel_theta)
 
     def epoch_fn(carry: ChainState, step_size, leapfrog):
         keys2 = jax.vmap(lambda k: jax.random.split(k, 3))(carry.key)
@@ -138,9 +151,14 @@ def make_epoch_fn(model: Sequential, likelihood: Likelihood, x, y,
 
         if adjust_hypers:
             # -- hyper block: HMC over hypers given new params ---------------
+            if stats_pair is not None:
+                stats_f, hyper_vg_stats = stats_pair
+                stats = stats_f(unravel_theta_b(theta))
+                hyper_vg_fn = lambda es: hyper_vg_stats(es, stats)  # noqa: E731
+            else:
+                hyper_vg_fn = lambda es: hyper_vg_b(es, theta)  # noqa: E731
             hyper = hmc_step_batched(
-                k_hyper, eta,
-                lambda es: hyper_vg_b(es, theta),
+                k_hyper, eta, hyper_vg_fn,
                 hyper_step[:, None], hyper_leapfrog)
             eta = hyper.position
             hyper_accept = hyper.accept_prob
@@ -175,7 +193,8 @@ def make_tree_epoch_fn(model: Sequential, likelihood: Likelihood, x, y,
                        mu: float,
                        unravel_theta=None,
                        theta_dim: int = None,
-                       axis_name: Optional[str] = None):
+                       axis_name: Optional[str] = None,
+                       eta_dim: Optional[int] = None):
     """Tree-state epoch step for wide models.
 
     The main-chain state lives as a stacked params pytree (leaves (C, ...))
@@ -228,6 +247,16 @@ def make_tree_epoch_fn(model: Sequential, likelihood: Likelihood, x, y,
             rv, rg = rv + lv, rg + lg
         return rv, rg
 
+    # sufficient-stats hyper potential (see make_epoch_fn) — the big win
+    # here: for coupled likelihoods over big data the full-data forward
+    # runs once per epoch, not once per hyper leapfrog step
+    stats_pair = None
+    if adjust_hypers and eta_dim is not None:
+        from tensorbnn_tpu.sampler.hyper_stats import make_stats_hyper
+        stats_pair = make_stats_hyper(model, likelihood, x, y,
+                                      unravel_eta, eta_dim,
+                                      axis_name=axis_name)
+
     momentum_fn = None
     if unravel_theta is not None and theta_dim is not None:
         # draw the flat (C, D) momentum then unravel: identical PRNG
@@ -264,9 +293,14 @@ def make_tree_epoch_fn(model: Sequential, likelihood: Likelihood, x, y,
 
         if adjust_hypers:
             from tensorbnn_tpu.sampler.hmc import hmc_step_batched
+            if stats_pair is not None:
+                stats_f, hyper_vg_stats = stats_pair
+                stats = stats_f(theta)
+                hyper_vg_fn = lambda es: hyper_vg_stats(es, stats)  # noqa: E731
+            else:
+                hyper_vg_fn = lambda es: hyper_vg(es, theta)  # noqa: E731
             hyper = hmc_step_batched(
-                k_hyper, eta,
-                lambda es: hyper_vg(es, theta),
+                k_hyper, eta, hyper_vg_fn,
                 hyper_step[:, None], hyper_leapfrog)
             eta = hyper.position
             hyper_accept = hyper.accept_prob
