@@ -359,8 +359,12 @@ def _trajectory_kernel(ops, n: int, lik: str, prior_rows, sd_idx,
     scalars (traced — changing (eps, L) never recompiles); outputs: final
     position/momentum (D, BC) and the log posterior at the start/end
     points (1, BC) for the caller's MH accept. ``prior_rows`` lists
-    (rows, loc_eta_idx, scale_eta_idx) Gaussian-prior blocks covering the
-    whole flat state in row order.
+    ``(kind, rows, loc_eta_idx, scale_eta_idx, sign)`` prior blocks
+    covering the whole flat state in row order — "gauss" (reference-exact
+    gaussian_logprob, sd = scale_hyper**2 clamped, distributions.py:39-56)
+    or "cauchy" (gamma = scale_hyper**2; ``sign`` +1 reproduces the
+    reference's flipped cauchyLogProb, -1 the proper density —
+    distributions.py:70-86).
     """
     bc = theta_ref.shape[1]
     eps = eps_ref[0, 0]
@@ -369,30 +373,39 @@ def _trajectory_kernel(ops, n: int, lik: str, prior_rows, sd_idx,
     y = y_ref[:]
     eta = eta_ref[:]                                           # (H, BC)
 
-    # prior planes: reference-exact gaussian_logprob with scalar sigma per
-    # block (k=1, sd = scale_hyper**2, clamped — distributions.py:39-56)
-    mu_parts, iv_parts = [], []
-    const = jnp.zeros((bc,), jnp.float32)
-    for rows, i_loc, i_scale in prior_rows:
-        loc = eta[i_loc]                                       # (BC,)
-        sig = jnp.clip(eta[i_scale] * eta[i_scale], 1e-8, 1e8)
-        mu_parts.append(jnp.broadcast_to(loc[None, :], (rows, bc)))
-        iv_parts.append(jnp.broadcast_to(
-            (1.0 / (sig * sig))[None, :], (rows, bc)))
-        const = const - 0.5 * (2.0 * jnp.log(sig) + LOG_2PI)
-    mu = jnp.concatenate(mu_parts, axis=0)                     # (D, BC)
-    iv = jnp.concatenate(iv_parts, axis=0)
-
     if sd_idx is not None:
         sd = jnp.clip(eta[sd_idx] * eta[sd_idx], 1e-8, 1e8)
     else:
         sd = jnp.full((bc,), jnp.float32(sd_const))
 
+    def prior_vg(qv):
+        lp = jnp.zeros((bc,), jnp.float32)
+        g_parts = []
+        off = 0
+        for kind, rows, i_loc, i_scale, sign in prior_rows:
+            blk = qv[off:off + rows]                           # (rows, BC)
+            loc = eta[i_loc][None, :]
+            dif = blk - loc
+            if kind == "gauss":
+                sig = jnp.clip(eta[i_scale] * eta[i_scale], 1e-8, 1e8)
+                iv = 1.0 / (sig * sig)
+                lp = lp - 0.5 * (jnp.sum(dif * dif, axis=0) * iv
+                                 + 2.0 * jnp.log(sig) + LOG_2PI)
+                g_parts.append(-dif * iv[None, :])
+            else:  # cauchy
+                gam = eta[i_scale] * eta[i_scale]
+                z2 = (dif * dif) / (gam * gam)[None, :]
+                lp = lp + sign * jnp.sum(jnp.log1p(z2), axis=0) \
+                    - rows * jnp.log(math.pi * gam)
+                denom = (gam * gam)[None, :] + dif * dif
+                g_parts.append(sign * 2.0 * dif / denom)
+            off += rows
+        return lp, jnp.concatenate(g_parts, axis=0)
+
     def vg(qv):
         ll, g = _likelihood_value_vg(ops, n, lik, qv, x, y, sd)
-        dif = qv - mu
-        lp = ll + const - 0.5 * jnp.sum(dif * dif * iv, axis=0)
-        return lp, g - dif * iv
+        plp, pg = prior_vg(qv)
+        return ll + plp, g + pg
 
     q = theta_ref[:]
     lp0, g = vg(q)
@@ -481,13 +494,15 @@ def try_build_fused_trajectory(model, likelihood, unravel_theta,
     """Pattern-matches (model, likelihood) for the full-trajectory kernel.
 
     Scope on top of the per-step kernel's: every parameterized layer must
-    be a GaussianDenseLayer (the prior folds into per-row Gaussian planes),
-    every dense layer small enough to unroll, and the whole working set
-    incl. the trajectory carry must fit VMEM. Returns None otherwise.
+    be a Gaussian or Cauchy dense layer (closed-form prior value+grad in
+    the kernel), every dense layer small enough to unroll, and the whole
+    working set incl. the trajectory carry must fit VMEM. Returns None
+    otherwise.
     """
     from tensorbnn_tpu.likelihoods import BernoulliLikelihood, \
         FixedGaussianLikelihood, GaussianLikelihood
-    from tensorbnn_tpu.models.layers import GaussianDenseLayer
+    from tensorbnn_tpu.models.layers import CauchyDenseLayer, \
+        GaussianDenseLayer
 
     matched = _model_program(model, likelihood)
     if matched is None:
@@ -508,23 +523,29 @@ def try_build_fused_trajectory(model, likelihood, unravel_theta,
             return None
         block_c = (block_c // 128 - 1) * 128
 
-    # Gaussian prior blocks, in flat row order, with eta indices probed
-    # from the caller's layout
+    # prior blocks, in flat row order, with eta indices probed from the
+    # caller's layout
     probe_h, probe_l = unravel_eta(jnp.arange(eta_dim, dtype=jnp.float32))
     prior_rows = []
     for layer, h in zip(model.layers, probe_h):
         if not h:
             continue
-        if not isinstance(layer, GaussianDenseLayer):
+        if isinstance(layer, GaussianDenseLayer):
+            kind, sign = "gauss", 0.0
+        elif isinstance(layer, CauchyDenseLayer):
+            # sign +1 = the reference's flipped cauchyLogProb (the compat
+            # default); -1 = the proper density (layer.proper=True)
+            kind, sign = "cauchy", (-1.0 if layer.proper else 1.0)
+        else:
             return None
         if set(h) != {"b_loc", "b_scale", "w_loc", "w_scale"}:
             return None
-        prior_rows.append((layer.out_dim,
+        prior_rows.append((kind, layer.out_dim,
                            int(np.asarray(h["b_loc"])),
-                           int(np.asarray(h["b_scale"]))))
-        prior_rows.append((layer.in_dim * layer.out_dim,
+                           int(np.asarray(h["b_scale"])), sign))
+        prior_rows.append((kind, layer.in_dim * layer.out_dim,
                            int(np.asarray(h["w_loc"])),
-                           int(np.asarray(h["w_scale"]))))
+                           int(np.asarray(h["w_scale"])), sign))
 
     sd_idx = None
     sd_const = 1.0

@@ -102,18 +102,30 @@ def test_trajectory_leapfrog_count_is_traced():
         _compare(model, FixedGaussianLikelihood(sd=0.1), L=L)
 
 
+def test_trajectory_matches_xla_cauchy_compat():
+    """The reference's default DenseLayer (Cauchy prior, sign-flipped
+    compat form) through the trajectory kernel."""
+    model = Sequential([CauchyDenseLayer(1, 8), Tanh(),
+                        CauchyDenseLayer(8, 1)])
+    _compare(model, FixedGaussianLikelihood(sd=0.1), L=9, eps=5e-3)
+
+
+def test_trajectory_matches_xla_cauchy_proper():
+    model = Sequential([CauchyDenseLayer(2, 6, proper=True), Tanh(),
+                        CauchyDenseLayer(6, 1, proper=True)])
+    _compare(model, FixedGaussianLikelihood(sd=0.1), d_in=2, L=7)
+
+
+def test_trajectory_matches_xla_mixed_priors():
+    model = Sequential([GaussianDenseLayer(1, 6), Tanh(),
+                        CauchyDenseLayer(6, 1)])
+    _compare(model, FixedGaussianLikelihood(sd=0.1), L=5)
+
+
 def test_trajectory_scope_rejections():
     x = np.zeros((5, 1), np.float32)
     y = np.zeros((5,), np.float32)
     lik = FixedGaussianLikelihood(sd=0.1)
-
-    # Cauchy priors are not foldable into Gaussian planes
-    cauchy = Sequential([CauchyDenseLayer(1, 4)])
-    p, h = cauchy.init(jax.random.key(0))
-    flat = flatten_state(p, h, {})
-    assert try_build_fused_trajectory(
-        cauchy, lik, flat.unravel_theta, flat.unravel_eta, x, y,
-        eta_dim=flat.eta.size, interpret=True) is None
 
     # sampled slopes excluded
     sq = Sequential([GaussianDenseLayer(1, 4), SquarePrelu(4),
