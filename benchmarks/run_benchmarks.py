@@ -56,7 +56,16 @@ def _bench_sampler(model, x, y, *, n_chains, leapfrog, hyper_leapfrog,
     flat = flatten_state(params, hypers, likelihood.init_hypers(dtype))
 
     batched_main_vg = None
-    if use_fused:
+    batched_main_traj = None
+    if use_fused == "traj":
+        from tensorbnn_tpu.ops.fused_mlp import try_build_fused_trajectory
+        batched_main_traj = try_build_fused_trajectory(
+            model, likelihood, flat.unravel_theta, flat.unravel_eta,
+            x, y, eta_dim=flat.eta.size, block_c=min(n_chains, 512),
+            interpret=jax.default_backend() != "tpu")
+        if batched_main_traj is None:
+            raise RuntimeError("trajectory kernel did not match")
+    elif use_fused:
         from tensorbnn_tpu.ops.fused_mlp import try_build_fused_main_vg
         batched_main_vg = try_build_fused_main_vg(
             model, likelihood, flat.unravel_theta, flat.unravel_eta,
@@ -69,7 +78,8 @@ def _bench_sampler(model, x, y, *, n_chains, leapfrog, hyper_leapfrog,
         model, likelihood, x, y, flat.unravel_theta, flat.unravel_eta,
         adjust_hypers=True, hyper_leapfrog=hyper_leapfrog, burnin=1e9,
         hyper_step_size_init=1e-4, mesh=None, donate=False,
-        state_layout=state_layout, batched_main_vg=batched_main_vg)
+        state_layout=state_layout, batched_main_vg=batched_main_vg,
+        batched_main_traj=batched_main_traj)
 
     carry = init_multichain_state(flat.theta, flat.eta,
                                   jax.random.key(seed + 1), 1e-4,
@@ -194,13 +204,18 @@ def bench_classification():
 
     on_tpu = jax.default_backend() == "tpu"
     rates = {}
-    for fused in ((True, False) if on_tpu else (False,)):
-        steps, dt, acc, _ = _bench_sampler(
-            model, x, y, n_chains=n_chains, leapfrog=50,
-            hyper_leapfrog=10, chunk=10, n_chunks=5, step_size=5e-4,
-            likelihood=BernoulliLikelihood(), use_fused=fused)
-        rates["fused" if fused else "xla"] = steps / dt
-        log(f"classification {'fused' if fused else 'xla'}: "
+    for mode in (("traj", True, False) if on_tpu else (False,)):
+        name = {True: "fused", False: "xla", "traj": "trajectory"}[mode]
+        try:
+            steps, dt, acc, _ = _bench_sampler(
+                model, x, y, n_chains=n_chains, leapfrog=50,
+                hyper_leapfrog=10, chunk=10, n_chunks=5, step_size=5e-4,
+                likelihood=BernoulliLikelihood(), use_fused=mode)
+        except RuntimeError as e:
+            log(f"classification {name}: skipped ({e})")
+            continue
+        rates[name] = steps / dt
+        log(f"classification {name}: "
             f"{steps / dt:,.0f} steps/sec, accept {acc:.3f}")
 
     from tensorbnn_tpu.ops.fused_mlp import _model_program, fused_profitable

@@ -300,7 +300,13 @@ def _likelihood_value_vg(ops, n: int, lik: str, q, x, y, sd):
             h = jnp.where(x_in > 0.0, x_in, jnp.exp(x_in) - 1.0)
             store.append(("elu", x_in))
         elif kind in ("prelu", "sqprelu"):
-            raise ValueError("trajectory kernel excludes sampled slopes")
+            d = op[1]
+            s = q[off:off + d]                                 # (d, BC)
+            eff = s * s if kind == "sqprelu" else s
+            x_in = h
+            h = jnp.where(x_in < 0.0, eff[None, :, :] * x_in, x_in)
+            store.append((kind, x_in, s, off, d))
+            off += d
         else:
             fwd, _ = _fixed_act(kind)
             h = fwd(h)
@@ -341,6 +347,17 @@ def _likelihood_value_vg(ops, n: int, lik: str, q, x, y, sd):
             g = g * jnp.where(rec[1] < 0.0, rec[2], 1.0)
         elif kind == "elu":
             g = g * jnp.where(rec[1] > 0.0, 1.0, jnp.exp(rec[1]))
+        elif kind in ("prelu", "sqprelu"):
+            _, x_in, s, off, d = rec
+            neg_x = jnp.where(x_in < 0.0, x_in, 0.0)
+            d_eff = jnp.sum(neg_x * g, axis=0)                 # (d, BC)
+            if kind == "sqprelu":
+                blocks[off] = 2.0 * s * d_eff
+                eff = s * s
+            else:
+                blocks[off] = d_eff
+                eff = s
+            g = g * jnp.where(x_in < 0.0, eff[None, :, :], 1.0)
         else:
             _, bwd = _fixed_act(kind)
             g = g * bwd(rec[1])
@@ -384,10 +401,26 @@ def _trajectory_kernel(ops, n: int, lik: str, prior_rows, sd_idx,
         off = 0
         for kind, rows, i_loc, i_scale, sign in prior_rows:
             blk = qv[off:off + rows]                           # (rows, BC)
+            if kind == "exp":
+                # Prelu slopes: exponential_logprob(rate, s) = -|rate| s
+                # + log|rate| per element (distributions.py:89-96;
+                # reference activationFunctions.py:161-175)
+                rate = jnp.abs(eta[i_loc])
+                lp = lp - rate * jnp.sum(blk, axis=0) \
+                    + rows * jnp.log(rate)
+                g_parts.append(jnp.broadcast_to(-rate[None, :],
+                                                (rows, blk.shape[1])))
+                off += rows
+                continue
             loc = eta[i_loc][None, :]
             dif = blk - loc
-            if kind == "gauss":
-                sig = jnp.clip(eta[i_scale] * eta[i_scale], 1e-8, 1e8)
+            if kind in ("gauss", "gauss_raw"):
+                # "gauss": dense-layer prior, sd = scale_hyper**2;
+                # "gauss_raw": SquarePrelu slopes, sigma = scale hyper
+                # directly (reference activationFunctions.py:381-399)
+                s = eta[i_scale]
+                sig = jnp.clip(s * s if kind == "gauss" else s,
+                               1e-8, 1e8)
                 iv = 1.0 / (sig * sig)
                 lp = lp - 0.5 * (jnp.sum(dif * dif, axis=0) * iv
                                  + 2.0 * jnp.log(sig) + LOG_2PI)
@@ -494,10 +527,11 @@ def try_build_fused_trajectory(model, likelihood, unravel_theta,
     """Pattern-matches (model, likelihood) for the full-trajectory kernel.
 
     Scope on top of the per-step kernel's: every parameterized layer must
-    be a Gaussian or Cauchy dense layer (closed-form prior value+grad in
-    the kernel), every dense layer small enough to unroll, and the whole
-    working set incl. the trajectory carry must fit VMEM. Returns None
-    otherwise.
+    have a closed-form prior value+grad in the kernel — Gaussian or Cauchy
+    dense layers, Prelu (exponential slope prior) and SquarePrelu
+    (Gaussian slope prior) — every dense layer small enough to unroll, and
+    the whole working set incl. the trajectory carry must fit VMEM.
+    Returns None otherwise.
     """
     from tensorbnn_tpu.likelihoods import BernoulliLikelihood, \
         FixedGaussianLikelihood, GaussianLikelihood
@@ -508,44 +542,55 @@ def try_build_fused_trajectory(model, likelihood, unravel_theta,
     if matched is None:
         return None
     ops, lik = matched
-    if any(op[0] in ("prelu", "sqprelu") for op in ops):
-        return None
     if not verify_theta_layout(unravel_theta, ops):
         return None
 
     n = int(n_rows if n_rows is not None else x.shape[0])
     if require_profitable and not fused_profitable(ops, n):
         return None
-    if _fori_dense_dims(ops, n, min(block_c, 128)):
-        return None  # large layers need the scratch-staged per-step kernel
     while trajectory_vmem_bytes(ops, n, block_c) > VMEM_LIMIT_BYTES:
         if block_c <= 128:
             return None
         block_c = (block_c // 128 - 1) * 128
+    if _fori_dense_dims(ops, n, block_c):
+        return None  # large layers need the scratch-staged per-step kernel
 
     # prior blocks, in flat row order, with eta indices probed from the
     # caller's layout
     probe_h, probe_l = unravel_eta(jnp.arange(eta_dim, dtype=jnp.float32))
     prior_rows = []
+    from tensorbnn_tpu.models.layers import Prelu, SquarePrelu
     for layer, h in zip(model.layers, probe_h):
         if not h:
             continue
-        if isinstance(layer, GaussianDenseLayer):
-            kind, sign = "gauss", 0.0
-        elif isinstance(layer, CauchyDenseLayer):
-            # sign +1 = the reference's flipped cauchyLogProb (the compat
-            # default); -1 = the proper density (layer.proper=True)
-            kind, sign = "cauchy", (-1.0 if layer.proper else 1.0)
+        if isinstance(layer, (GaussianDenseLayer, CauchyDenseLayer)):
+            if isinstance(layer, GaussianDenseLayer):
+                kind, sign = "gauss", 0.0
+            else:
+                # sign +1 = the reference's flipped cauchyLogProb (the
+                # compat default); -1 = the proper density (proper=True)
+                kind, sign = "cauchy", (-1.0 if layer.proper else 1.0)
+            if set(h) != {"b_loc", "b_scale", "w_loc", "w_scale"}:
+                return None
+            prior_rows.append((kind, layer.out_dim,
+                               int(np.asarray(h["b_loc"])),
+                               int(np.asarray(h["b_scale"])), sign))
+            prior_rows.append((kind, layer.in_dim * layer.out_dim,
+                               int(np.asarray(h["w_loc"])),
+                               int(np.asarray(h["w_scale"])), sign))
+        elif isinstance(layer, Prelu):
+            if set(h) != {"rate"}:
+                return None
+            i_rate = int(np.asarray(h["rate"]))
+            prior_rows.append(("exp", layer.in_dim, i_rate, i_rate, 0.0))
+        elif isinstance(layer, SquarePrelu):
+            if set(h) != {"loc", "scale"}:
+                return None
+            prior_rows.append(("gauss_raw", layer.in_dim,
+                               int(np.asarray(h["loc"])),
+                               int(np.asarray(h["scale"])), 0.0))
         else:
             return None
-        if set(h) != {"b_loc", "b_scale", "w_loc", "w_scale"}:
-            return None
-        prior_rows.append((kind, layer.out_dim,
-                           int(np.asarray(h["b_loc"])),
-                           int(np.asarray(h["b_scale"])), sign))
-        prior_rows.append((kind, layer.in_dim * layer.out_dim,
-                           int(np.asarray(h["w_loc"])),
-                           int(np.asarray(h["w_scale"])), sign))
 
     sd_idx = None
     sd_const = 1.0

@@ -122,19 +122,25 @@ def test_trajectory_matches_xla_mixed_priors():
     _compare(model, FixedGaussianLikelihood(sd=0.1), L=5)
 
 
+def test_trajectory_matches_xla_squareprelu_bernoulli():
+    """The reference's classification stack (SquarePrelu + sigmoid +
+    Bernoulli) through the trajectory kernel."""
+    model = Sequential([GaussianDenseLayer(2, 6), SquarePrelu(6),
+                        GaussianDenseLayer(6, 1), Sigmoid()])
+    _compare(model, BernoulliLikelihood(), d_in=2, L=7, eps=2e-2)
+
+
+def test_trajectory_matches_xla_prelu():
+    from tensorbnn_tpu import Prelu
+    model = Sequential([GaussianDenseLayer(1, 5), Prelu(5),
+                        GaussianDenseLayer(5, 1)])
+    _compare(model, FixedGaussianLikelihood(sd=0.1), L=6, eps=5e-3)
+
+
 def test_trajectory_scope_rejections():
     x = np.zeros((5, 1), np.float32)
     y = np.zeros((5,), np.float32)
     lik = FixedGaussianLikelihood(sd=0.1)
-
-    # sampled slopes excluded
-    sq = Sequential([GaussianDenseLayer(1, 4), SquarePrelu(4),
-                     GaussianDenseLayer(4, 1)])
-    p2, h2 = sq.init(jax.random.key(0))
-    flat2 = flatten_state(p2, h2, {})
-    assert try_build_fused_trajectory(
-        sq, lik, flat2.unravel_theta, flat2.unravel_eta, x, y,
-        eta_dim=flat2.eta.size, interpret=True) is None
 
     # big data rejected by the VMEM gate
     ok = Sequential([GaussianDenseLayer(1, 4), Tanh(),
