@@ -461,15 +461,39 @@ def _trajectory_kernel(ops, n: int, lik: str, prior_rows, sd_idx,
 
 
 def trajectory_vmem_bytes(ops, n: int, block_c: int) -> int:
-    """Trajectory kernel working set: the per-step potential footprint plus
-    the fori carry (q, v, g — double-buffered across the loop boundary by
-    Mosaic), the prior (mu, iv) planes, and the gradient-assembly
-    concatenation temporaries. Calibrated against a measured 17.6MB real
-    footprint for a 4x10 stack at N=11, BC=512 (12 x (D, BC) planes on top
-    of the per-step estimate)."""
-    _, _, d_total = _program_dims(ops)
-    extra = 12 * _pad(d_total, 8) * _pad(block_c, 128)
-    return kernel_vmem_bytes(ops, n, block_c) + 4 * extra
+    """Trajectory kernel working set, calibrated against measured Mosaic
+    stack footprints (17.0MB for a 3x10 stack at N=31 BC=1, 17.6MB for a
+    4x10 stack at N=11 BC=512): the kernel inlines the likelihood
+    value+grad graph TWICE (once before the fori loop, once in its body)
+    and the stack allocator keeps each instance's residual planes and
+    every layer's unrolled input-row temporaries live simultaneously, plus
+    the double-buffered (q, v, g, lp) carry and prior/grad-assembly
+    temporaries (~12 (D, BC) planes)."""
+    d0, dk, d_total = _program_dims(ops)
+    bc = _pad(block_c, 128)
+
+    def plane(d):
+        return n * _pad(d, 8) * bc
+
+    planes = plane(d0)
+    temps = 0
+    max_d = d0
+    d = d0
+    for op in ops:
+        if op[0] == "dense":
+            d_in, d_out = op[1], op[2]
+            if 4 * d_in * n * d_out * block_c > UNROLL_TEMP_BYTES:
+                temps += plane(d_out) + 2 * plane(d_in)
+            else:
+                temps += d_in * plane(d_out)
+            d = d_out
+        planes += plane(d)
+        max_d = max(max_d, d)
+    per_vg = planes + temps + 2 * plane(max_d)   # residuals + temps + g
+    floats = (2 * per_vg                         # two inlined vg graphs
+              + 14 * _pad(d_total, 8) * bc       # carry + theta/mom/prior
+              + n * (_pad(d0, 128) + _pad(dk, 128)))
+    return 4 * floats
 
 
 def make_fused_trajectory(ops, n_rows: int, *, lik: str, prior_rows,

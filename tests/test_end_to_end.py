@@ -271,6 +271,29 @@ def test_streamed_equals_batch_multichain(tmp_path):
         res.theta_pooled[:, :5], rtol=1e-5, atol=1e-6)
 
 
+def test_display_epochs_with_metrics(capsys):
+    """display_skip > 0 exercises the driver's display-row fetch, metric
+    evaluation over train+validation, and likelihood.display (reference
+    network.py:593-602 behavior)."""
+    train_in = np.linspace(-1, 1, 9)
+    y = trig(train_in)
+    net = Network(jnp.float32, 1, train_in, y, train_in, y, seed=12)
+    net.add(GaussianDenseLayer(1, 5)).add(Tanh())
+    net.add(GaussianDenseLayer(5, 1))
+    net.setup_mcmc(step_size_start=1e-3, leapfrog_start=8, leapfrog_min=4,
+                   leapfrog_max=16, burnin=10, averaging_steps=5,
+                   hyper_leapfrog=4, random_steps=1)
+    res = net.train(30, 4, GaussianLikelihood(sd=0.1),
+                    metric_list=[SquaredError(), PercentError()],
+                    display_skip=10, verbose=True)
+    out = capsys.readouterr().out
+    assert "squared error" in out
+    assert "percent error" in out
+    assert "Loss Standard Deviation" in out  # GaussianLikelihood.display
+    assert "Main acceptance" in out
+    assert np.isfinite(res.theta_samples).all()
+
+
 def test_reweight_to_different_prior(small_run):
     """Reweighting Gaussian -> Cauchy priors produces non-uniform weights
     matching the direct importance-ratio computation."""
