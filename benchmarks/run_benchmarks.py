@@ -418,6 +418,67 @@ def bench_ess(n_chains: int = 64):
     }))
 
 
+def bench_predict():
+    """Posterior-ensemble inference throughput: the Predictor's vmapped
+    apply over the stacked sample axis (the reference loops networks one
+    forward pass at a time, predictor.py:142-154)."""
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+
+    from tensorbnn_tpu import FixedGaussianLikelihood, GaussianDenseLayer, \
+        Tanh
+    from tensorbnn_tpu.io import checkpoint
+    from tensorbnn_tpu.models.sequential import Sequential
+    from tensorbnn_tpu.predictor import Predictor
+    from tensorbnn_tpu.sampler.potential import flatten_state
+
+    model = Sequential([GaussianDenseLayer(1, 10), Tanh(),
+                        GaussianDenseLayer(10, 10), Tanh(),
+                        GaussianDenseLayer(10, 10), Tanh(),
+                        GaussianDenseLayer(10, 1)])
+    params, hypers = model.init(jax.random.key(0))
+    flat = flatten_state(params, hypers, {})
+
+    n_nets, batch = 2000, 4096
+    rng = np.random.default_rng(0)
+    thetas = jnp.asarray(flat.theta[None]
+                         + 0.05 * rng.normal(size=(n_nets, flat.theta.size)),
+                         jnp.float32)
+    param_samples = jax.tree.map(np.asarray,
+                                 jax.vmap(flat.unravel_theta)(thetas))
+    hyper_samples = tuple(
+        jax.tree.map(lambda v, n=n_nets: np.broadcast_to(
+            np.asarray(v), (n,) + np.shape(v)), h)
+        for h in hypers)
+
+    with tempfile.TemporaryDirectory() as d:
+        checkpoint.save_samples(d, param_samples, hyper_samples, {})
+        with open(f"{d}/architecture.txt", "w") as f:
+            for name in model.layer_names:
+                f.write(name + "\n")
+        pred = Predictor(d, likelihood=FixedGaussianLikelihood(sd=0.1))
+        x = rng.normal(size=(batch, 1)).astype(np.float32)
+
+        pred.predict(x, n=1)                     # compile + warm
+        t0 = time.perf_counter()
+        reps = 5
+        for _ in range(reps):
+            out = pred.predict(x, n=1)
+        dt = time.perf_counter() - t0
+    net_points = reps * n_nets * batch
+    log(f"predict: {n_nets} nets x {batch} points x {reps} reps in "
+        f"{dt:.2f}s (incl. host transfer of {out.nbytes / 1e6:.0f}MB/rep)")
+    print(json.dumps({
+        "metric": "posterior-ensemble prediction throughput "
+                  f"({n_nets}-network 3x10 MLP ensemble)",
+        "value": round(net_points / dt, 0),
+        "unit": "network-predictions/sec",
+        "batch": batch,
+    }))
+
+
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     if which in ("wide_deep", "all"):
@@ -434,6 +495,8 @@ def main():
         bench_ess()
     if which == "ess512":
         bench_ess(512)
+    if which in ("predict", "all"):
+        bench_predict()
 
 
 if __name__ == "__main__":

@@ -72,6 +72,7 @@ class Predictor:
             self._load_reference(directory_path, layers)
 
         self.n_networks = self._count_networks()
+        self._param_device_cache = {}
         self._apply_ens = jax.jit(jax.vmap(self._apply_one, in_axes=(0, None)))
 
     # -- loading ---------------------------------------------------------------
@@ -137,6 +138,15 @@ class Predictor:
     def _thin(self, tree, n: int):
         return jax.tree.map(lambda v: jnp.asarray(v)[::n], tree)
 
+    def _thin_params_cached(self, n: int):
+        """Device-resident thinned ensemble, cached per thinning factor —
+        repeated predict calls skip the host->device ensemble transfer."""
+        cached = self._param_device_cache.get(n)
+        if cached is None:
+            cached = self._thin(self.param_samples, n)
+            self._param_device_cache[n] = cached
+        return cached
+
     def predict(self, input_matrix, n: int = 1) -> np.ndarray:
         """Ensemble predictions using every n-th network.
 
@@ -147,7 +157,7 @@ class Predictor:
         x = jnp.asarray(input_matrix, self.dtype)
         if x.ndim == 1:
             x = x[:, None]
-        params = self._thin(self.param_samples, n)
+        params = self._thin_params_cached(n)
         return np.asarray(self._apply_ens(params, x))
 
     def predict_mean_sd(self, input_matrix, n: int = 1):
