@@ -1,14 +1,23 @@
-"""Fused Pallas kernel: MLP potential value+grad over chain blocks.
+"""Fused Pallas kernels: MLP potential value+grad and full HMC trajectories
+over chain blocks.
 
 The sampler's hot op is the full-data log-likelihood gradient of a *small*
 dense MLP, evaluated once per leapfrog step for every chain (SURVEY.md #7
 hard part 4). XLA lowers this as dozens of tiny ops whose shapes put the
 10-wide feature dimensions on the TPU's 128-lane axis — single-digit
-utilization. This kernel flips the layout: **chains on lanes**. Every
+utilization. These kernels flip the layout: **chains on lanes**. Every
 activation plane is an ``(N, d, C)`` array whose minor axis is the chain
 block, so each multiply-add saturates the VPU regardless of how narrow the
-MLP is, and the whole forward+backward runs as ONE kernel per grad eval with
-all intermediates resident in VMEM.
+MLP is. Two kernels share the machinery:
+
+* the **per-step potential** (``try_build_fused_main_vg``): one program
+  per gradient evaluation, forward+backward with all intermediates in
+  VMEM; composes with ``shard_map`` (the caller psums its value+grad);
+* the **full-trajectory kernel** (``try_build_fused_trajectory``): ALL L
+  leapfrog steps of one HMC transition in a single program — position,
+  momentum and gradients never leave VMEM, priors are evaluated in closed
+  form in-kernel, and (eps, L) are traced SMEM scalars so adapter retunes
+  never recompile.
 
 Scope (benchmark-gated, enabled when the model matches and the working set
 fits VMEM): stacks of dense layers with tanh / relu / sigmoid / elu / exp /
