@@ -449,19 +449,30 @@ def _trajectory_kernel(ops, n: int, lik: str, prior_rows, sd_idx,
         plp, pg = prior_vg(qv)
         return ll + plp, g + pg
 
-    q = theta_ref[:]
-    lp0, g = vg(q)
-    v = mom_ref[:] + 0.5 * eps * g
+    # single-inline leapfrog: one vg graph instance in the program (a
+    # separate pre-loop eval doubles the Mosaic stack footprint — see
+    # trajectory_vmem_bytes). Iteration i evaluates vg at the current q,
+    # applies a half kick on the first/last iterations and a full kick
+    # otherwise, and drifts except after the final half kick:
+    #   i=0:        g(q0); v += eps/2 g; q += eps v
+    #   0<i<L:      g(qi); v += eps  g; q += eps v
+    #   i=L:        g(qL); v += eps/2 g        (no drift)
+    # == the standard half-kick/full-drift leapfrog with L drifts.
+    zero = jnp.zeros((bc,), jnp.float32)
 
-    def body(_, carry):
-        q, v, lp, g = carry
-        q = q + eps * v
+    def body(i, carry):
+        q, v, lp0, _lp = carry
         lp, g = vg(q)
-        v = v + eps * g
-        return (q, v, lp, g)
+        lp0 = jnp.where(i == 0, lp, lp0)
+        half = jnp.logical_or(i == 0, i == n_leap)
+        kick = jnp.where(half, 0.5 * eps, eps)
+        v = v + kick * g
+        drift = jnp.where(i < n_leap, eps, 0.0)
+        q = q + drift * v
+        return (q, v, lp0, lp)
 
-    q, v, lp, g = lax.fori_loop(0, n_leap, body, (q, v, lp0, g))
-    v = v - 0.5 * eps * g                                      # half-kick back
+    q, v, lp0, lp = lax.fori_loop(
+        0, n_leap + 1, body, (theta_ref[:], mom_ref[:], zero, zero))
 
     q_out[:] = q
     v_out[:] = v
@@ -471,13 +482,13 @@ def _trajectory_kernel(ops, n: int, lik: str, prior_rows, sd_idx,
 
 def trajectory_vmem_bytes(ops, n: int, block_c: int) -> int:
     """Trajectory kernel working set, calibrated against measured Mosaic
-    stack footprints (17.0MB for a 3x10 stack at N=31 BC=1, 17.6MB for a
-    4x10 stack at N=11 BC=512): the kernel inlines the likelihood
-    value+grad graph TWICE (once before the fori loop, once in its body)
-    and the stack allocator keeps each instance's residual planes and
-    every layer's unrolled input-row temporaries live simultaneously, plus
-    the double-buffered (q, v, g, lp) carry and prior/grad-assembly
-    temporaries (~12 (D, BC) planes)."""
+    stack footprints: the stack allocator keeps the vg graph's residual
+    planes and every layer's unrolled input-row temporaries live
+    simultaneously (measured ~8.5MB per inlined graph instance for a 3x10
+    stack at N=31; the kernel is structured so exactly ONE instance exists
+    — a masked kick-drift-kick loop instead of a separate pre-loop eval),
+    plus the double-buffered (q, v) carry and prior/grad-assembly
+    temporaries (~14 (D, BC) planes)."""
     d0, dk, d_total = _program_dims(ops)
     bc = _pad(block_c, 128)
 
@@ -499,7 +510,7 @@ def trajectory_vmem_bytes(ops, n: int, block_c: int) -> int:
         planes += plane(d)
         max_d = max(max_d, d)
     per_vg = planes + temps + 2 * plane(max_d)   # residuals + temps + g
-    floats = (2 * per_vg                         # two inlined vg graphs
+    floats = (per_vg                             # one inlined vg graph
               + 14 * _pad(d_total, 8) * bc       # carry + theta/mom/prior
               + n * (_pad(d0, 128) + _pad(dk, 128)))
     return 4 * floats
