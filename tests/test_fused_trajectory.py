@@ -10,7 +10,6 @@ import math
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from tensorbnn_tpu import (
     BernoulliLikelihood,

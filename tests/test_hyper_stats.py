@@ -135,7 +135,7 @@ def test_sampling_with_stats_hyper_matches_generic_path():
     import math
 
     from tensorbnn_tpu.network import Network
-    from tensorbnn_tpu.sampler import gibbs, hyper_stats
+    from tensorbnn_tpu.sampler import hyper_stats
 
     x = np.linspace(-1, 1, 9)
     y = np.sin(x * math.pi)
