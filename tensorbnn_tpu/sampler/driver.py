@@ -72,6 +72,16 @@ class MCMCConfig:
         if self.averaging_steps < 1:
             raise ValueError(
                 f"averaging_steps must be >= 1, got {self.averaging_steps}")
+        for name in ("leapfrog_start", "leapfrog_min", "leapfrog_max",
+                     "hyper_leapfrog"):
+            if getattr(self, name) < 1:
+                raise ValueError(
+                    f"{name} must be >= 1, got {getattr(self, name)}")
+        for name in ("step_size_start", "step_size_min", "step_size_max",
+                     "hyper_step_size"):
+            if getattr(self, name) <= 0:
+                raise ValueError(
+                    f"{name} must be > 0, got {getattr(self, name)}")
 
     def make_adapter(self) -> ParamAdapter:
         return ParamAdapter(
