@@ -595,7 +595,7 @@ def try_build_fused_trajectory(model, likelihood, unravel_theta,
     while trajectory_vmem_bytes(ops, n, block_c) > VMEM_LIMIT_BYTES:
         if block_c <= 128:
             return None
-        block_c = (block_c // 128 - 1) * 128
+        block_c = max(128, (block_c - 1) // 128 * 128)
     if _fori_dense_dims(ops, n, block_c):
         return None  # large layers need the scratch-staged per-step kernel
 
@@ -700,7 +700,12 @@ def verify_theta_layout(unravel_theta, ops) -> bool:
 def choose_block_c(c: int, cap: int) -> int:
     """Largest Mosaic-legal chain block <= cap: the lane (minor) dimension
     must be a multiple of 128 or equal to the full array dim, and must
-    divide the chain count."""
+    divide the chain count.
+
+    When no 128-multiple divides ``c`` the only legal block is ``c`` itself
+    and the cap cannot be honored (chain counts that are multiples of 128
+    avoid this; the driver's block heuristic only caps at 512-multiples,
+    where a legal divisor always exists)."""
     if cap >= c:
         return c
     k = (cap // 128) * 128
@@ -945,8 +950,11 @@ def try_build_fused_main_vg(model, likelihood, unravel_theta, unravel_eta,
     # back to the XLA potential — big-data configs belong there.
     if kernel_vmem_bytes(ops, n, min(block_c, 128)) > VMEM_LIMIT_BYTES:
         return None
-    while kernel_vmem_bytes(ops, n, block_c) > VMEM_LIMIT_BYTES:
-        block_c = (block_c // 128 - 1) * 128 if block_c > 128 else 128
+    while block_c > 128 and \
+            kernel_vmem_bytes(ops, n, block_c) > VMEM_LIMIT_BYTES:
+        # step down in whole 128-lane tiles (a 129..255 cap costs the same
+        # VMEM as 256, so jump straight to the next tile boundary)
+        block_c = max(128, (block_c - 1) // 128 * 128)
 
     learned_sd = isinstance(likelihood, GaussianLikelihood)
     if learned_sd:
