@@ -24,10 +24,15 @@ Usage: python benchmarks/run_benchmarks.py
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+# runnable from anywhere: the package lives at the repo root
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 
 def log(*a):
@@ -356,7 +361,7 @@ def bench_surrogate_quality():
     }))
 
 
-def bench_ess(n_chains: int = 64):
+def bench_ess(n_chains: int = 64, n_adapters: int = 1):
     """ESS/sec on the flagship config — the BASELINE quality-adjusted
     throughput metric (leapfrog throughput is meaningless if the chain
     doesn't decorrelate). ``n_chains`` scales the fleet: chains decorrelate
@@ -389,7 +394,8 @@ def bench_ess(n_chains: int = 64):
                    random_steps=5)
     t0 = time.perf_counter()
     res = net.train(1300, 2, FixedGaussianLikelihood(sd=0.1),
-                    n_chains=n_chains, chain_jitter=0.05, verbose=False)
+                    n_chains=n_chains, n_adapters=n_adapters,
+                    chain_jitter=0.05, verbose=False)
     dt = time.perf_counter() - t0
 
     # ESS of a predictive summary (mean prediction at x=0.5) per chain
@@ -410,7 +416,7 @@ def bench_ess(n_chains: int = 64):
         f"in {dt:.1f}s wall (incl. compile)")
     print(json.dumps({
         "metric": f"ESS/sec (predictive summary, {n_chains} chains, "
-                  f"flagship MLP)",
+                  f"{n_adapters} adapter group(s), flagship MLP)",
         "value": round(total_ess / dt, 2),
         "unit": "effective samples/sec",
         "total_ess": round(total_ess, 1),
@@ -495,6 +501,12 @@ def main():
         bench_ess()
     if which == "ess512":
         bench_ess(512)
+    if which == "ess_groups":
+        # per-chain-group adaptation (n_adapters): groups explore
+        # distinct (eps, L); each epoch costs the largest group's L
+        bench_ess(64, n_adapters=8)
+    if which == "ess512_groups":
+        bench_ess(512, n_adapters=8)
     if which in ("predict", "all"):
         bench_predict()
 

@@ -109,7 +109,8 @@ class Network:
               folder_name: Optional[str] = None,
               networks_per_file: int = 1000,
               display_skip: int = 0, verbose: bool = True,
-              n_chains: int = 1, chain_jitter: float = 0.0, mesh=None,
+              n_chains: int = 1, n_adapters: int = 1,
+              chain_jitter: float = 0.0, mesh=None,
               use_fused: str = "auto", state_layout: str = "auto",
               checkpoint_dir=None,
               checkpoint_every: int = 0, tracer=None,
@@ -144,7 +145,8 @@ class Network:
             x_validate=self.validate_x, y_validate=self.validate_y,
             display_skip=display_skip, folder_name=folder_name,
             networks_per_file=networks_per_file, dtype=self.dtype,
-            n_chains=n_chains, chain_jitter=chain_jitter, mesh=mesh,
+            n_chains=n_chains, n_adapters=n_adapters,
+            chain_jitter=chain_jitter, mesh=mesh,
             use_fused=use_fused, state_layout=state_layout,
             checkpoint_dir=checkpoint_dir,
             checkpoint_every=checkpoint_every, tracer=tracer,

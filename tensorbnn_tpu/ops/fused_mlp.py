@@ -377,24 +377,27 @@ def _likelihood_value_vg(ops, n: int, lik: str, q, x, y, sd):
 def _trajectory_kernel(ops, n: int, lik: str, prior_rows, sd_idx,
                        sd_const: float,
                        theta_ref, mom_ref, eta_ref, x_ref, y_ref,
-                       eps_ref, L_ref,
+                       eps_ref, L_ref, lmax_ref,
                        q_out, v_out, lp0_out, lp1_out):
     """One full HMC trajectory per chain block, all in VMEM.
 
-    theta/mom refs: (D, BC); eta_ref: (H, BC); eps_ref/L_ref: (1, 1) SMEM
-    scalars (traced — changing (eps, L) never recompiles); outputs: final
-    position/momentum (D, BC) and the log posterior at the start/end
-    points (1, BC) for the caller's MH accept. ``prior_rows`` lists
-    ``(kind, rows, loc_eta_idx, scale_eta_idx, sign)`` prior blocks
-    covering the whole flat state in row order — "gauss" (reference-exact
-    gaussian_logprob, sd = scale_hyper**2 clamped, distributions.py:39-56)
-    or "cauchy" (gamma = scale_hyper**2; ``sign`` +1 reproduces the
-    reference's flipped cauchyLogProb, -1 the proper density —
-    distributions.py:70-86).
+    theta/mom refs: (D, BC); eta_ref: (H, BC); eps_ref/L_ref: (1, BC)
+    per-chain VMEM rows (traced — changing (eps, L) never recompiles; the
+    per-chain-group ``n_adapters`` mode gives chains distinct values and
+    shared-adapter runs broadcast one value), lmax_ref: (1, 1) SMEM loop
+    bound = max(L); outputs: final position/momentum (D, BC) and the log
+    posterior at the start/end points (1, BC) for the caller's MH accept.
+    ``prior_rows`` lists ``(kind, rows, loc_eta_idx, scale_eta_idx,
+    sign)`` prior blocks covering the whole flat state in row order —
+    "gauss" (reference-exact gaussian_logprob, sd = scale_hyper**2
+    clamped, distributions.py:39-56) or "cauchy" (gamma = scale_hyper**2;
+    ``sign`` +1 reproduces the reference's flipped cauchyLogProb, -1 the
+    proper density — distributions.py:70-86).
     """
     bc = theta_ref.shape[1]
-    eps = eps_ref[0, 0]
-    n_leap = L_ref[0, 0]
+    eps_v = eps_ref[0, :]                                      # (BC,)
+    l_v = L_ref[0, :]                                          # (BC,) i32
+    l_max = lmax_ref[0, 0]
     x = x_ref[:]
     y = y_ref[:]
     eta = eta_ref[:]                                           # (H, BC)
@@ -452,27 +455,30 @@ def _trajectory_kernel(ops, n: int, lik: str, prior_rows, sd_idx,
     # single-inline leapfrog: one vg graph instance in the program (a
     # separate pre-loop eval doubles the Mosaic stack footprint — see
     # trajectory_vmem_bytes). Iteration i evaluates vg at the current q,
-    # applies a half kick on the first/last iterations and a full kick
-    # otherwise, and drifts except after the final half kick:
+    # applies a half kick on each chain's first/last iterations and a full
+    # kick between, and drifts except after the final half kick:
     #   i=0:        g(q0); v += eps/2 g; q += eps v
-    #   0<i<L:      g(qi); v += eps  g; q += eps v
-    #   i=L:        g(qL); v += eps/2 g        (no drift)
-    # == the standard half-kick/full-drift leapfrog with L drifts.
+    #   0<i<L_c:    g(qi); v += eps  g; q += eps v
+    #   i=L_c:      g(qL); v += eps/2 g        (no drift)
+    #   i>L_c:      frozen (kick = drift = 0); vg re-evaluates at the
+    #               unchanged q, so lp carries the chain's endpoint value
+    # == the standard half-kick/full-drift leapfrog with L_c drifts per
+    # chain, run as one wave front to the block's max(L).
     zero = jnp.zeros((bc,), jnp.float32)
 
     def body(i, carry):
         q, v, lp0, _lp = carry
         lp, g = vg(q)
         lp0 = jnp.where(i == 0, lp, lp0)
-        half = jnp.logical_or(i == 0, i == n_leap)
-        kick = jnp.where(half, 0.5 * eps, eps)
-        v = v + kick * g
-        drift = jnp.where(i < n_leap, eps, 0.0)
-        q = q + drift * v
+        kick = jnp.where(i < l_v, eps_v, 0.0)
+        kick = jnp.where((i == 0) | (i == l_v), 0.5 * eps_v, kick)
+        v = v + kick[None, :] * g
+        drift = jnp.where(i < l_v, eps_v, 0.0)
+        q = q + drift[None, :] * v
         return (q, v, lp0, lp)
 
     q, v, lp0, lp = lax.fori_loop(
-        0, n_leap + 1, body, (theta_ref[:], mom_ref[:], zero, zero))
+        0, l_max + 1, body, (theta_ref[:], mom_ref[:], zero, zero))
 
     q_out[:] = q
     v_out[:] = v
@@ -532,8 +538,13 @@ def make_fused_trajectory(ops, n_rows: int, *, lik: str, prior_rows,
         bc = choose_block_c(c, block_c)
         x2 = jnp.asarray(x, jnp.float32).reshape(n, d0)
         y2 = jnp.asarray(y, jnp.float32).reshape(n, dk)
-        eps_arr = jnp.asarray(eps, jnp.float32).reshape(1, 1)
-        l_arr = jnp.asarray(n_leapfrog, jnp.int32).reshape(1, 1)
+        # scalar (shared-adapter) or (C,) per-chain (eps, L) — both traced
+        eps_arr = jnp.broadcast_to(
+            jnp.asarray(eps, jnp.float32).reshape(-1), (c,)).reshape(1, c)
+        l_vec = jnp.broadcast_to(
+            jnp.asarray(n_leapfrog, jnp.int32).reshape(-1),
+            (c,)).reshape(1, c)
+        l_max = jnp.max(l_vec).reshape(1, 1)
 
         grid = (c // bc,)
         block = lambda r: pl.BlockSpec((r, bc), lambda i: (0, i),  # noqa: E731
@@ -546,7 +557,8 @@ def make_fused_trajectory(ops, n_rows: int, *, lik: str, prior_rows,
             kernel,
             grid=grid,
             in_specs=[block(d_total), block(d_total), block(eta_dim),
-                      full(n, d0), full(n, dk), smem(), smem()],
+                      full(n, d0), full(n, dk), block(1), block(1),
+                      smem()],
             out_specs=[block(d_total), block(d_total), block(1), block(1)],
             out_shape=[
                 jax.ShapeDtypeStruct((d_total, c), jnp.float32),
@@ -555,7 +567,7 @@ def make_fused_trajectory(ops, n_rows: int, *, lik: str, prior_rows,
                 jax.ShapeDtypeStruct((1, c), jnp.float32),
             ],
             interpret=interpret,
-        )(thetas.T, momenta.T, etas.T, x2, y2, eps_arr, l_arr)
+        )(thetas.T, momenta.T, etas.T, x2, y2, eps_arr, l_vec, l_max)
         return q_t.T, v_t.T, lp0[0], lp1[0]
 
     return traj

@@ -12,12 +12,15 @@ is strictly single-chain, single-device):
   is data-parallel over the ``data`` axis: each device computes its shard's
   log-likelihood term and XLA compiles the ``psum`` onto the ICI.
 
-Adaptation design decision (SURVEY.md #7 hard part 3): the GP-UCB adapter is
-*shared* across chains — it consumes the cross-chain mean SJD — while the
-hyper chain's dual-averaging state is *per chain* (each chain carries its own
-``(hyper_step, log_eps_bar, h)``). A shared (eps, L) keeps every chain in the
-same compiled program; per-chain dual averaging costs nothing because it
-lives in the vmapped carry.
+Adaptation design decision (SURVEY.md #7 hard part 3): by default the
+GP-UCB adapter is *shared* across chains — it consumes the cross-chain mean
+SJD — while the hyper chain's dual-averaging state is *per chain* (each
+chain carries its own ``(hyper_step, log_eps_bar, h)``). A shared (eps, L)
+keeps every chain on the same wave front. The driver's ``n_adapters``
+option instead runs one adapter per chain group with per-chain (eps, L)
+vectors (``per_chain_adapt``); the integrators mask-freeze chains that
+finish early, so the batch pays the longest group's trajectory. Per-chain
+dual averaging costs nothing because it lives in the vmapped carry.
 """
 
 from __future__ import annotations
@@ -73,7 +76,8 @@ def make_multichain_chunk_runner(model: Sequential, likelihood: Likelihood,
                                  donate: bool = True,
                                  batched_main_vg=None,
                                  batched_main_traj=None,
-                                 state_layout: str = "flat"):
+                                 state_layout: str = "flat",
+                                 per_chain_adapt: bool = False):
     """Builds ``run_chunk(carry, x, y, step_size, leapfrog, n_epochs)`` over
     batched chains.
 
@@ -84,6 +88,13 @@ def make_multichain_chunk_runner(model: Sequential, likelihood: Likelihood,
 
     Unlike the single-chain runner, ``x``/``y`` are arguments rather than
     closure constants so shard_map can annotate their shardings.
+
+    With ``per_chain_adapt`` (the driver's ``n_adapters > 1`` mode) the
+    ``step_size``/``leapfrog`` arguments are per-chain ``(C,)`` vectors and,
+    under a mesh, shard with the chains axis; every device in a data-axis
+    group holds the same chain shard, so the masked leapfrog's trip count —
+    and therefore its psum schedule — stays identical within each collective
+    group.
     """
     mu = math.log(100.0 * hyper_step_size_init)
 
@@ -160,6 +171,8 @@ def make_multichain_chunk_runner(model: Sequential, likelihood: Likelihood,
         sjd=P(None, CHAIN_AXIS), main_accept=P(None, CHAIN_AXIS),
         hyper_accept=P(None, CHAIN_AXIS))
 
+    adapt_spec = P(CHAIN_AXIS) if per_chain_adapt else P()
+
     @functools.partial(jax.jit, static_argnums=(5,),
                        donate_argnums=(0,) if donate else ())
     def run_chunk(carry, x_in, y_in, step_size, leapfrog, n_epochs):
@@ -167,7 +180,7 @@ def make_multichain_chunk_runner(model: Sequential, likelihood: Likelihood,
             functools.partial(body, n_epochs=n_epochs),
             mesh=mesh,
             in_specs=(chain_state_spec, P(DATA_AXIS), P(DATA_AXIS),
-                      P(), P()),
+                      adapt_spec, adapt_spec),
             out_specs=(chain_state_spec, epoch_trace_spec),
             check_vma=False)
         return fn(carry, x_in, y_in, step_size, leapfrog)

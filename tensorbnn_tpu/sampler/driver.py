@@ -17,9 +17,14 @@ reference's retrace on every leapfrog change.
 Chains always run through the batched multi-chain path (a single chain is
 just C=1): states batch as (C, D) matrices and, when a mesh is given, chain
 groups shard over the ``chains`` axis with the likelihood psum'd over
-``data`` (SURVEY.md #2.2). The GP adapter consumes the cross-chain mean SJD
-(shared (eps, L) across chains — the recorded design decision for hard part
-3); dual averaging for the hyper chain is per chain inside the carry.
+``data`` (SURVEY.md #2.2). Adaptation granularity (hard part 3) is a
+recorded, user-facing choice: by default ONE GP adapter consumes the
+cross-chain mean SJD (every chain shares (eps, L) — one wave-front batch,
+no straggler chains), while ``n_adapters=G`` runs one adapter per chain
+group, each fed its group's mean SJD, with per-chain (eps, L) vectors
+threading into mask-frozen integrators (sampler/hmc.py, the trajectory
+kernel). Dual averaging for the hyper chain is per chain inside the carry
+either way.
 """
 
 from __future__ import annotations
@@ -83,7 +88,7 @@ class MCMCConfig:
                 raise ValueError(
                     f"{name} must be > 0, got {getattr(self, name)}")
 
-    def make_adapter(self) -> ParamAdapter:
+    def make_adapter(self, seed: Optional[int] = None) -> ParamAdapter:
         return ParamAdapter(
             e1=self.step_size_start, L1=self.leapfrog_start,
             el=self.step_size_min, eu=self.step_size_max,
@@ -95,7 +100,7 @@ class MCMCConfig:
             a=self.a, delta=self.delta,
             max_strikes=self.max_strikes,
             random_steps=self.random_steps,
-            seed=self.adapter_seed)
+            seed=self.adapter_seed if seed is None else seed)
 
 
 @dataclasses.dataclass
@@ -149,6 +154,7 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
                      networks_per_file: int = 1000,
                      dtype=jnp.float32,
                      n_chains: int = 1,
+                     n_adapters: int = 1,
                      chain_jitter: float = 0.0,
                      mesh=None,
                      checkpoint_dir: Optional[str] = None,
@@ -172,8 +178,21 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
     samples) is persisted every ``checkpoint_every`` chunks and a fresh call
     continues exactly where the interrupted run stopped (the reference can
     only persist samples, SURVEY.md #5).
+
+    ``n_adapters`` splits the chains into that many equal groups, each with
+    its own GP-UCB adapter (distinct random phases via ``adapter_seed + g``)
+    and its own (step size, leapfrog) trajectory — SURVEY.md #7 hard part
+    3's "one adapter per chain-group" option. Groups decorrelate the fleet's
+    exploration, at the cost that each epoch's batch runs to the largest
+    group's leapfrog count (finished chains mask-freeze inside the
+    integrator). ``n_adapters=1`` (default) is the shared-adapter design:
+    one adapter fed the cross-chain mean SJD.
     """
     t_start = time.time()
+    if n_adapters < 1 or n_chains % n_adapters:
+        raise ValueError(
+            f"n_adapters ({n_adapters}) must be >= 1 and divide "
+            f"n_chains ({n_chains})")
     x_train = jnp.asarray(x_train, dtype)
     y_train = jnp.asarray(y_train, dtype)
 
@@ -265,17 +284,22 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
         donate=donate,
         batched_main_vg=batched_main_vg,
         batched_main_traj=batched_main_traj,
-        state_layout=state_layout)
+        state_layout=state_layout,
+        per_chain_adapt=n_adapters > 1)
 
     carry = init_multichain_state(flat.theta, flat.eta, key,
                                   config.hyper_step_size, n_chains,
                                   dtype, jitter=chain_jitter)
     if mesh is not None:
         carry = jax.device_put(carry, chain_sharding(mesh))
-    adapter = config.make_adapter()
+    n_grp = n_adapters
+    grp_chains = n_chains // n_grp
+    adapters = [config.make_adapter(seed=config.adapter_seed + g
+                                    if n_grp > 1 else None)
+                for g in range(n_grp)]
 
-    step_size = config.step_size_start
-    leapfrog = config.leapfrog_start
+    step_sizes = np.full(n_grp, config.step_size_start, np.float64)
+    leapfrogs = np.full(n_grp, config.leapfrog_start, np.int64)
 
     theta_samples: List[np.ndarray] = []
     eta_samples: List[np.ndarray] = []
@@ -322,7 +346,8 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
     # config/model/chain-count would silently produce a wrong trajectory,
     # so the fingerprint is persisted and validated on load
     fingerprint = _run_fingerprint(config, model, likelihood, flat,
-                                   n_chains, sampling_step, dtype)
+                                   n_chains, sampling_step, dtype,
+                                   n_adapters=n_adapters)
 
     # -- resume from a checkpoint if one exists ---------------------------------
     resumed = checkpoint.load_resume(checkpoint_dir) if checkpoint_dir \
@@ -331,8 +356,8 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
         arrays, host = resumed
         saved_fp = host.get("fingerprint")
         if saved_fp is not None and saved_fp != fingerprint:
-            diffs = sorted(k for k in fingerprint
-                           if saved_fp.get(k) != fingerprint[k])
+            diffs = sorted(k for k in set(fingerprint) | set(saved_fp)
+                           if saved_fp.get(k) != fingerprint.get(k))
             raise ValueError(
                 f"checkpoint in {checkpoint_dir} was written by a run with "
                 f"a different {', '.join(diffs)}; resuming it under this "
@@ -351,10 +376,15 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
             epoch=jnp.asarray(arrays["epoch"], dtype))
         if mesh is not None:
             carry = jax.device_put(carry, chain_sharding(mesh))
-        adapter.load_state_dict(host["adapter"])
+        saved_adapters = host["adapter"]
+        if not isinstance(saved_adapters, list):
+            saved_adapters = [saved_adapters]
+        for a, st in zip(adapters, saved_adapters):
+            a.load_state_dict(st)
         iter_ = int(host["iter"])
-        step_size = float(host["step_size"])
-        leapfrog = int(host["leapfrog"])
+        step_sizes = np.atleast_1d(
+            np.asarray(host["step_size"], np.float64))
+        leapfrogs = np.atleast_1d(np.asarray(host["leapfrog"], np.int64))
         theta_samples = [a for a in arrays.get(
             "theta_samples", np.zeros((0, 1, 1)))]
         eta_samples = [a for a in arrays.get(
@@ -378,27 +408,40 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
         checkpoint.save_resume(
             checkpoint_dir,
             carry_arrays=arrays,
-            host_state={"adapter": adapter.state_dict(), "iter": iter_,
-                        "step_size": step_size, "leapfrog": int(leapfrog),
-                        "fingerprint": fingerprint})
+            host_state={
+                "adapter": (adapters[0].state_dict() if n_grp == 1
+                            else [a.state_dict() for a in adapters]),
+                "iter": iter_,
+                "step_size": (float(step_sizes[0]) if n_grp == 1
+                              else [float(s) for s in step_sizes]),
+                "leapfrog": (int(leapfrogs[0]) if n_grp == 1
+                             else [int(v) for v in leapfrogs]),
+                "fingerprint": fingerprint})
 
     chunks_done = 0
     while iter_ < epochs:
-        chunk = min(adapter.epochs_until_next_change(), epochs - iter_)
+        chunk = min(min(a.epochs_until_next_change() for a in adapters),
+                    epochs - iter_)
         if tracer is not None:
             tracer.start_chunk()
+        if n_grp == 1:
+            eps_arg = jnp.asarray(float(step_sizes[0]), dtype)
+            leap_arg = jnp.asarray(int(leapfrogs[0]), jnp.int32)
+        else:
+            eps_arg = jnp.asarray(np.repeat(step_sizes, grp_chains), dtype)
+            leap_arg = jnp.asarray(np.repeat(leapfrogs, grp_chains),
+                                   jnp.int32)
         carry, trace = run_chunk(
-            carry, x_train, y_train,
-            jnp.asarray(step_size, dtype),
-            jnp.asarray(leapfrog, jnp.int32),
-            chunk)
+            carry, x_train, y_train, eps_arg, leap_arg, chunk)
 
         sjd = np.asarray(trace.sjd)            # (chunk, C)
         if tracer is not None:
-            tracer.end_chunk(chunk, int(leapfrog), n_chains)
+            tracer.end_chunk(chunk, int(leapfrogs.max()), n_chains)
         m_acc = np.asarray(trace.main_accept)  # (chunk, C)
         h_acc = np.asarray(trace.hyper_accept)
         sjd_mean = sjd.mean(axis=1)
+        # per-group mean SJD feeds each group's adapter
+        sjd_grp = sjd.reshape(chunk, n_grp, grp_chains).mean(axis=2)
         sjds.append(sjd_mean)
         main_accepts.append(m_acc.mean(axis=1))
         hyper_accepts.append(h_acc.mean(axis=1))
@@ -424,9 +467,11 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
             iter_ += 1
             # the reference's first adapter call carries no SJD
             # (paramAdapter.py:216-219): previous_state starts as None
-            step_size, leapfrog = adapter.update(
-                None if iter_ == 1 else float(sjd_mean[j]))
-            step_size = float(np.clip(step_size, 1e-12, None))
+            for g, a in enumerate(adapters):
+                e_g, l_g = a.update(
+                    None if iter_ == 1 else float(sjd_grp[j, g]))
+                step_sizes[g] = float(np.clip(e_g, 1e-12, None))
+                leapfrogs[g] = int(l_g)
 
             if iter_ > config.burnin and iter_ % sampling_step == 0:
                 if keep_samples:
@@ -444,10 +489,12 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
 
             if display_skip and iter_ % display_skip == 0 and verbose:
                 print(f"\niter:{iter_:>2}")
-                print("step size", step_size)
+                print("step size", float(step_sizes[0]) if n_grp == 1
+                      else list(step_sizes))
                 print("hyper step size",
                       float(np.mean(np.asarray(carry.hyper_step))))
-                print("leapfrog", leapfrog)
+                print("leapfrog", int(leapfrogs[0]) if n_grp == 1
+                      else [int(v) for v in leapfrogs])
                 print("Main acceptance", float(m_acc[j].mean()))
                 print("Hyper acceptance", float(h_acc[j].mean()))
                 if metric_list:
@@ -518,8 +565,8 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
         else np.zeros(0),
         hyper_accept=np.concatenate(hyper_accepts) if hyper_accepts
         else np.zeros(0),
-        final_step_size=float(step_size),
-        final_leapfrog=int(leapfrog),
+        final_step_size=float(np.mean(step_sizes)),
+        final_leapfrog=int(round(float(np.mean(leapfrogs)))),
         final_hyper_step=float(np.mean(np.asarray(carry.hyper_step))),
         n_epochs=iter_,
         n_chains=n_chains,
@@ -535,7 +582,8 @@ def _lik_hypers_from_eta(flat, eta_row):
 
 
 def _run_fingerprint(config: MCMCConfig, model, likelihood, flat,
-                     n_chains: int, sampling_step: int, dtype) -> dict:
+                     n_chains: int, sampling_step: int, dtype,
+                     n_adapters: int = 1) -> dict:
     """JSON-safe identity of a sampling run, for resume validation."""
     layers = []
     for layer in model.layers:
@@ -543,7 +591,8 @@ def _run_fingerprint(config: MCMCConfig, model, likelihood, flat,
         if hasattr(layer, "in_dim") and hasattr(layer, "out_dim"):
             desc += f"({layer.in_dim},{layer.out_dim})"
         layers.append(desc)
-    return {
+    fp = {} if n_adapters == 1 else {"n_adapters": int(n_adapters)}
+    return fp | {
         "config": dataclasses.asdict(config),
         "layers": layers,
         "likelihood": type(likelihood).__name__,

@@ -121,25 +121,48 @@ def leapfrog_batched(vg_fn: Callable, positions: jax.Array,
                      momenta: jax.Array, step_size, n_steps) -> tuple:
     """Chain-batched leapfrog: positions (C, D), vg_fn (C, D) -> ((C,), (C, D)).
 
-    One shared traced step count across chains (the adapter ties chains to a
-    common (eps, L) — SURVEY.md #7 hard part 3 decision), so the batch runs
-    as single fused (C, D) vector ops — no per-chain vmap overhead, and the
-    value-and-grad oracle sees the whole chain block at once (the shape a
-    fused Pallas potential kernel wants).
+    ``step_size`` is a traced scalar or a per-chain ``(C, 1)`` column;
+    ``n_steps`` a traced scalar or a per-chain ``(C,)`` vector (the
+    ``n_adapters`` per-chain-group adaptation mode). With a shared step
+    count the batch runs as single fused (C, D) vector ops — no per-chain
+    vmap overhead, and the value-and-grad oracle sees the whole chain block
+    at once (the shape a fused Pallas potential kernel wants). With
+    per-chain counts the loop runs to ``max(n_steps)`` with finished chains
+    mask-frozen: one wave-front batch still beats per-chain programs, but
+    every chain pays the longest trajectory's wall clock.
     """
     lp0, g0 = vg_fn(positions)
     momenta = momenta + 0.5 * step_size * g0
 
-    def cond(carry):
-        i, *_ = carry
-        return i < n_steps
+    if jnp.ndim(n_steps) == 0:
+        def cond(carry):
+            i, *_ = carry
+            return i < n_steps
 
-    def body(carry):
-        i, q, v, _lp, _g = carry
-        q = q + step_size * v
-        lp, g = vg_fn(q)
-        v = v + step_size * g
-        return (i + 1, q, v, lp, g)
+        def body(carry):
+            i, q, v, _lp, _g = carry
+            q = q + step_size * v
+            lp, g = vg_fn(q)
+            v = v + step_size * g
+            return (i + 1, q, v, lp, g)
+    else:
+        n_vec = jnp.reshape(n_steps, (-1,))
+        cap = jnp.max(n_vec)
+
+        def cond(carry):
+            i, *_ = carry
+            return i < cap
+
+        def body(carry):
+            # frozen chains (i >= their L) drift/kick by zero; vg_fn
+            # re-evaluates at the unchanged position, so the endpoint
+            # (lp, g) they carry out stays exact
+            i, q, v, _lp, _g = carry
+            act = (i < n_vec)[:, None]
+            q = q + jnp.where(act, step_size * v, 0.0)
+            lp, g = vg_fn(q)
+            v = v + jnp.where(act, step_size * g, 0.0)
+            return (i + 1, q, v, lp, g)
 
     _, q, v, lp, g = lax.while_loop(
         cond, body, (jnp.asarray(0, jnp.int32), positions, momenta,
@@ -156,8 +179,11 @@ def hmc_step_batched(keys, positions: jax.Array, vg_fn: Callable,
     All per-chain quantities (momenta, energies, MH coins, accepts) are
     vectors; the integrator is shared. Matches ``vmap(hmc_step)`` draws
     exactly (same per-chain PRNG substreams) while compiling to plain
-    batched ops.
+    batched ops. ``step_size`` may be a scalar, ``(C,)`` or ``(C, 1)``;
+    ``n_leapfrog`` a scalar or ``(C,)`` (see ``leapfrog_batched``).
     """
+    if jnp.ndim(step_size) == 1:
+        step_size = step_size[:, None]
     keys2 = jax.vmap(lambda k: jax.random.split(k))(keys)   # (C, 2)
     key_mom, key_mh = keys2[:, 0], keys2[:, 1]
     momenta = jax.vmap(
@@ -225,20 +251,42 @@ def _tree_axpy(a, x_tree, y_tree):
 
 def leapfrog_tree(vg_fn: Callable, positions, momenta, step_size,
                   n_steps) -> tuple:
-    """Tree-state chain-batched leapfrog. ``vg_fn(tree) -> ((C,), tree)``."""
+    """Tree-state chain-batched leapfrog. ``vg_fn(tree) -> ((C,), tree)``.
+
+    ``step_size`` may be a scalar or a per-chain ``(C,)`` vector;
+    ``n_steps`` likewise (per-chain counts mask-freeze finished chains,
+    as in ``leapfrog_batched``).
+    """
     lp0, g0 = vg_fn(positions)
     momenta = _tree_axpy(0.5 * step_size, g0, momenta)
 
-    def cond(carry):
-        i, *_ = carry
-        return i < n_steps
+    if jnp.ndim(n_steps) == 0:
+        def cond(carry):
+            i, *_ = carry
+            return i < n_steps
 
-    def body(carry):
-        i, q, v, _lp, _g = carry
-        q = _tree_axpy(step_size, v, q)
-        lp, g = vg_fn(q)
-        v = _tree_axpy(step_size, g, v)
-        return (i + 1, q, v, lp, g)
+        def body(carry):
+            i, q, v, _lp, _g = carry
+            q = _tree_axpy(step_size, v, q)
+            lp, g = vg_fn(q)
+            v = _tree_axpy(step_size, g, v)
+            return (i + 1, q, v, lp, g)
+    else:
+        n_vec = jnp.reshape(n_steps, (-1,))
+        cap = jnp.max(n_vec)
+        eps_vec = jnp.broadcast_to(jnp.asarray(step_size), n_vec.shape)
+
+        def cond(carry):
+            i, *_ = carry
+            return i < cap
+
+        def body(carry):
+            i, q, v, _lp, _g = carry
+            eff = jnp.where(i < n_vec, eps_vec, 0.0)
+            q = _tree_axpy(eff, v, q)
+            lp, g = vg_fn(q)
+            v = _tree_axpy(eff, g, v)
+            return (i + 1, q, v, lp, g)
 
     _, q, v, lp, g = lax.while_loop(
         cond, body, (jnp.asarray(0, jnp.int32), positions, momenta,

@@ -52,17 +52,18 @@ def _compare(model, lik, n=11, d_in=1, L=13, eps=1e-2, c=4, seed=0):
     momenta = jnp.asarray(
         rng.normal(size=thetas.shape), jnp.float32)
 
+    eps_in = jnp.asarray(eps, jnp.float32)   # scalar or per-chain (C,)
+    l_in = jnp.asarray(L, jnp.int32)
     q_f, v_f, lp0_f, lp1_f = traj(thetas, etas, momenta, x, y,
-                                  jnp.asarray(eps, jnp.float32),
-                                  jnp.asarray(L, jnp.int32))
+                                  eps_in, l_in)
 
     pots = make_potentials(model, lik, jnp.asarray(x), jnp.asarray(y),
                            flat.unravel_theta, flat.unravel_eta)
     vg = jax.vmap(pots.main_vg)
     lp0_x, _ = vg(thetas, etas)
+    eps_x = eps_in[:, None] if eps_in.ndim == 1 else eps_in
     q_x, v_x, lp1_x, _ = leapfrog_batched(
-        lambda ths: vg(ths, etas), thetas, momenta,
-        jnp.asarray(eps, jnp.float32), jnp.asarray(L, jnp.int32))
+        lambda ths: vg(ths, etas), thetas, momenta, eps_x, l_in)
 
     np.testing.assert_allclose(np.asarray(lp0_f), np.asarray(lp0_x),
                                rtol=1e-4, atol=1e-3)
@@ -184,3 +185,49 @@ def test_sampling_with_trajectory_matches_potential_path():
     np.testing.assert_allclose(a.theta_samples, b.theta_samples,
                                rtol=2e-3, atol=2e-4)
     assert 0 < a.main_accept.mean() <= 1.0
+
+
+def test_trajectory_per_chain_eps_and_L():
+    """Per-chain (eps, L) vectors (the n_adapters mode) through the same
+    built trajectory kernel match the masked XLA integrator per chain."""
+    model = Sequential([GaussianDenseLayer(1, 8), Tanh(),
+                        GaussianDenseLayer(8, 1)])
+    _compare(model, FixedGaussianLikelihood(sd=0.1),
+             eps=np.asarray([5e-3, 1e-2, 2e-2, 8e-3], np.float32),
+             L=np.asarray([3, 11, 7, 5], np.int32))
+
+
+def test_trajectory_per_chain_matches_independent_runs():
+    """A per-chain (eps, L) batch equals each chain run alone with its
+    scalar (eps, L) — the mask-freeze wave front changes nothing."""
+    model = Sequential([GaussianDenseLayer(1, 6), Tanh(),
+                        GaussianDenseLayer(6, 1)])
+    lik = FixedGaussianLikelihood(sd=0.1)
+    x, y, flat = _setup(model, lik)
+    c = 4
+    traj = try_build_fused_trajectory(
+        model, lik, flat.unravel_theta, flat.unravel_eta, x, y,
+        eta_dim=flat.eta.size, block_c=c, interpret=True)
+    rng = np.random.default_rng(3)
+    thetas = jnp.asarray(
+        0.3 * rng.normal(size=(c, flat.theta.size)), jnp.float32)
+    etas = jnp.tile(flat.eta[None], (c, 1))
+    momenta = jnp.asarray(rng.normal(size=thetas.shape), jnp.float32)
+    eps = np.asarray([4e-3, 1.5e-2, 9e-3, 2e-2], np.float32)
+    L = np.asarray([9, 2, 6, 4], np.int32)
+
+    q_b, v_b, lp0_b, lp1_b = traj(thetas, etas, momenta, x, y,
+                                  jnp.asarray(eps), jnp.asarray(L))
+
+    # single-chain kernels pad the lane axis; compare against a block
+    # where every lane carries chain i's scalar (eps, L)
+    for i in range(c):
+        th_i = jnp.tile(thetas[i:i + 1], (c, 1))
+        mo_i = jnp.tile(momenta[i:i + 1], (c, 1))
+        q_i, v_i, _, lp1_i = traj(th_i, etas, mo_i, x, y,
+                                  jnp.asarray(float(eps[i]), jnp.float32),
+                                  jnp.asarray(int(L[i]), jnp.int32))
+        np.testing.assert_allclose(np.asarray(q_b[i]), np.asarray(q_i[0]),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(float(lp1_b[i]), float(lp1_i[0]),
+                                   rtol=1e-4, atol=1e-3)
