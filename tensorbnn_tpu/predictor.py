@@ -8,7 +8,10 @@ axis — a single batched dispatch that tiles onto the MXU.
 
 Capabilities at parity with the reference:
 
-* ``predict``                 — ensemble predictions (every n-th network)
+* ``predict``                 — ensemble predictions (every n-th network);
+  with ``mesh=`` the ensemble shards over the mesh's ``chains`` axis and
+  the input batch over ``data`` (embarrassingly parallel — XLA partitions
+  the vmapped apply with no collectives), the serving-scale path
 * ``reweight``                — importance weights under swapped priors
   (exp(logp_new - logp_old), normalized; predictor.py:248-273)
 * ``autocorrelation`` / ``autocorrelation_length`` — FFT-based, averaged
@@ -46,7 +49,8 @@ class Predictor:
     def __init__(self, directory_path: str, dtype=jnp.float32,
                  custom_layer_dict: Optional[Dict] = None,
                  likelihood: Likelihood = GaussianLikelihood(sd=0.1),
-                 layers: Optional[Sequence[LayerSpec]] = None):
+                 layers: Optional[Sequence[LayerSpec]] = None,
+                 mesh=None):
         """Loads a saved posterior-sample directory.
 
         Arguments:
@@ -57,6 +61,10 @@ class Predictor:
             * layers: explicit layer specs; if omitted they are rebuilt from
               ``architecture.txt`` via the registry (reference
               predictor.py:115-130)
+            * mesh: optional ``(chains, data)`` ``jax.sharding.Mesh`` —
+              ``predict`` shards the ensemble over ``chains`` and the input
+              batch over ``data`` (multi-chip serving; single-chip calls
+              are unchanged)
         """
         self.dtype = dtype
         self.registry = dict(LAYER_REGISTRY)
@@ -64,6 +72,7 @@ class Predictor:
             self.registry.update(custom_layer_dict)
         self.likelihood = likelihood
         self.directory_path = directory_path
+        self.mesh = mesh
         self._train_log_weights = None
 
         if os.path.exists(os.path.join(directory_path, "samples.npz")):
@@ -74,6 +83,7 @@ class Predictor:
         self.n_networks = self._count_networks()
         self._param_device_cache = {}
         self._apply_ens = jax.jit(jax.vmap(self._apply_one, in_axes=(0, None)))
+        self._apply_ens_sharded = None   # built lazily per mesh
 
     # -- loading ---------------------------------------------------------------
 
@@ -147,22 +157,72 @@ class Predictor:
             self._param_device_cache[n] = cached
         return cached
 
-    def predict(self, input_matrix, n: int = 1) -> np.ndarray:
+    def predict(self, input_matrix, n: int = 1, mesh=None) -> np.ndarray:
         """Ensemble predictions using every n-th network.
 
         Returns an array of shape (ceil(S/n), batch, out_dims) — one vmapped
         dispatch instead of the reference's per-network python loop
-        (predictor.py:142-154).
+        (predictor.py:142-154). With a mesh (argument, or the constructor's)
+        the networks axis shards over ``chains`` and the batch over ``data``
+        — both axes are embarrassingly parallel, so XLA partitions the
+        dispatch with zero collectives; non-divisible sizes are padded and
+        sliced off the result.
         """
         x = jnp.asarray(input_matrix, self.dtype)
         if x.ndim == 1:
             x = x[:, None]
+        mesh = mesh if mesh is not None else self.mesh
+        if mesh is not None:
+            return self._predict_sharded(x, n, mesh)
         params = self._thin_params_cached(n)
         return np.asarray(self._apply_ens(params, x))
 
-    def predict_mean_sd(self, input_matrix, n: int = 1):
+    def _predict_sharded(self, x, n: int, mesh) -> np.ndarray:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from tensorbnn_tpu.parallel.mesh import CHAIN_AXIS, DATA_AXIS
+
+        n_ens = mesh.shape[CHAIN_AXIS]
+        n_dat = mesh.shape[DATA_AXIS]
+
+        cache_key = ("mesh", id(mesh), n)
+        cached = self._param_device_cache.get(cache_key)
+        if cached is None:
+            params = jax.tree.map(lambda v: np.asarray(v)[::n],
+                                  self.param_samples)
+            s = next(np.asarray(v).shape[0]
+                     for lp in params for v in lp.values())
+            pad_s = (-s) % n_ens
+            if pad_s:
+                # pad with copies of the first network; sliced off below
+                params = jax.tree.map(
+                    lambda v: np.concatenate(
+                        [v, np.repeat(v[:1], pad_s, axis=0)]), params)
+            params = jax.device_put(
+                jax.tree.map(lambda v: jnp.asarray(v, self.dtype), params),
+                NamedSharding(mesh, P(CHAIN_AXIS)))
+            cached = (params, s)
+            self._param_device_cache[cache_key] = cached
+        params, s = cached
+
+        b = x.shape[0]
+        pad_b = (-b) % n_dat
+        if pad_b:
+            x = jnp.concatenate([x, jnp.zeros((pad_b,) + x.shape[1:],
+                                              x.dtype)])
+        x = jax.device_put(x, NamedSharding(mesh, P(DATA_AXIS)))
+
+        if self._apply_ens_sharded is None or \
+                self._apply_ens_sharded[0] is not mesh:
+            fn = jax.jit(
+                jax.vmap(self._apply_one, in_axes=(0, None)),
+                out_shardings=NamedSharding(mesh, P(CHAIN_AXIS, DATA_AXIS)))
+            self._apply_ens_sharded = (mesh, fn)
+        out = self._apply_ens_sharded[1](params, x)
+        return np.asarray(out)[:s, :b]
+
+    def predict_mean_sd(self, input_matrix, n: int = 1, mesh=None):
         """Posterior predictive mean and sd over the ensemble."""
-        preds = self.predict(input_matrix, n)
+        preds = self.predict(input_matrix, n, mesh=mesh)
         return preds.mean(axis=0), preds.std(axis=0)
 
     # -- reweighting ---------------------------------------------------------------

@@ -209,3 +209,54 @@ def test_tree_layout_on_mesh_matches_plain(problem):
     np.testing.assert_allclose(np.asarray(tm.main_accept),
                                np.asarray(tp.main_accept),
                                rtol=5e-2, atol=5e-3)
+
+
+def test_predictor_mesh_sharded_inference(tmp_path):
+    """Ensemble inference sharded over the mesh (networks on the chains
+    axis, batch on data) == single-device predictions, incl. padding for
+    non-divisible ensemble and batch sizes."""
+    from tensorbnn_tpu.io import checkpoint
+    from tensorbnn_tpu.predictor import Predictor
+
+    model = Sequential([GaussianDenseLayer(2, 6), Tanh(),
+                        GaussianDenseLayer(6, 1)])
+    params, hypers = model.init(jax.random.key(1))
+    flat = flatten_state(params, hypers, {})
+
+    n_nets = 10   # not a multiple of the 2-device chains axis? 10 % 2 == 0;
+    # use 11 to exercise ensemble padding and 13 rows for batch padding
+    n_nets = 11
+    rng = np.random.default_rng(2)
+    thetas = jnp.asarray(
+        flat.theta[None] + 0.1 * rng.normal(size=(n_nets, flat.theta.size)),
+        jnp.float32)
+    param_samples = jax.tree.map(np.asarray,
+                                 jax.vmap(flat.unravel_theta)(thetas))
+    hyper_samples = tuple(
+        jax.tree.map(lambda v, n=n_nets: np.broadcast_to(
+            np.asarray(v), (n,) + np.shape(v)).copy(), h)
+        for h in hypers)
+
+    d = str(tmp_path / "run")
+    checkpoint.save_samples(d, param_samples, hyper_samples, {})
+    with open(f"{d}/architecture.txt", "w") as f:
+        for name in model.layer_names:
+            f.write(name + "\n")
+
+    x = rng.normal(size=(13, 2)).astype(np.float32)
+    dev_mesh = mesh_lib.make_mesh(n_chain_devices=2, n_data_devices=4)
+
+    plain = Predictor(d, likelihood=FixedGaussianLikelihood(sd=0.1))
+    base = plain.predict(x)
+
+    sharded = Predictor(d, likelihood=FixedGaussianLikelihood(sd=0.1),
+                        mesh=dev_mesh)
+    out = sharded.predict(x)
+    assert out.shape == base.shape == (n_nets, 13, 1)
+    np.testing.assert_allclose(out, base, rtol=1e-5, atol=1e-6)
+
+    # per-call mesh on a plain Predictor + cache reuse on a second call
+    out2 = plain.predict(x, mesh=dev_mesh)
+    np.testing.assert_allclose(out2, base, rtol=1e-5, atol=1e-6)
+    m, sd = sharded.predict_mean_sd(x)
+    np.testing.assert_allclose(m, base.mean(axis=0), rtol=1e-5, atol=1e-6)
