@@ -507,6 +507,8 @@ def main():
         bench_ess(64, n_adapters=8)
     if which == "ess512_groups":
         bench_ess(512, n_adapters=8)
+    if which == "ess1024_groups":
+        bench_ess(1024, n_adapters=8)
     if which in ("predict", "all"):
         bench_predict()
 

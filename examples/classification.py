@@ -8,6 +8,11 @@ the model/likelihood/metric stack is identical.
 """
 
 import argparse
+
+import os as _os
+import sys as _sys
+# runnable from anywhere: the package lives at the repo root
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import time
 
 import numpy as np

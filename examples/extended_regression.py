@@ -7,6 +7,11 @@ the posterior predictive with mean +/- sd bands.
 """
 
 import argparse
+
+import os as _os
+import sys as _sys
+# runnable from anywhere: the package lives at the repo root
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import math
 import time
 

@@ -10,6 +10,11 @@ Multi-chip:      pass --data-devices N (requires N devices).
 """
 
 import argparse
+
+import os as _os
+import sys as _sys
+# runnable from anywhere: the package lives at the repo root
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import time
 
 import numpy as np

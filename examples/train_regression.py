@@ -8,6 +8,11 @@ sanity run.
 """
 
 import argparse
+
+import os as _os
+import sys as _sys
+# runnable from anywhere: the package lives at the repo root
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import math
 import time
 
@@ -24,6 +29,10 @@ def main():
     ap.add_argument("--chains", type=int, default=1,
                     help="parallel chains (reference is single-chain; 64 "
                          "saturates a TPU chip at ~no extra wall-clock)")
+    ap.add_argument("--adapters", type=int, default=1,
+                    help="GP-adapter groups: chains split into this many "
+                         "groups, each on its own (step size, leapfrog) "
+                         "trajectory (must divide --chains)")
     args = ap.parse_args()
 
     import jax
@@ -78,6 +87,7 @@ def main():
     result = net.train(epochs, sampling, likelihood, metric_list=metrics,
                        adjust_hypers=True, folder_name=args.folder,
                        networks_per_file=50, n_chains=args.chains,
+                       n_adapters=args.adapters,
                        chain_jitter=0.01 if args.chains > 1 else 0.0,
                        display_skip=max(epochs // 20, 1))
 

@@ -79,3 +79,44 @@ def test_acceptance_exact_on_gaussian_target():
     res = net.train(120, 5, FixedGaussianLikelihood(sd=0.2),
                     adjust_hypers=False, verbose=False)
     assert res.main_accept.mean() > 0.95
+
+
+def test_conjugate_posterior_with_adapter_groups():
+    """The per-chain-group (eps, L) path (n_adapters) must sample the same
+    posterior: chain groups on different trajectories still recover the
+    analytic conjugate mean/sd — correctness of the mask-frozen wave-front
+    integrator in situ, not just against the XLA oracle."""
+    rng = np.random.default_rng(2)
+    n, d = 40, 3
+    sigma = 0.3
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    w_true = np.asarray([0.5, -1.0, 0.8], np.float32)
+    y = x @ w_true + sigma * rng.normal(size=n).astype(np.float32)
+    tau = 1.0
+
+    net = Network(jnp.float32, d, x, y, x, y, seed=6)
+    net.add(GaussianDenseLayer(d, 1))
+    net.setup_mcmc(step_size_start=5e-2, step_size_min=1e-2,
+                   step_size_max=2e-1, step_size_options=20,
+                   leapfrog_start=12, leapfrog_min=4, leapfrog_max=24,
+                   leapfrog_increment=2, hyper_step_size=1e-3,
+                   hyper_leapfrog=5, burnin=300, averaging_steps=10,
+                   random_steps=4)
+    res = net.train(2300, 2, FixedGaussianLikelihood(sd=sigma),
+                    adjust_hypers=False, n_chains=8, n_adapters=4,
+                    chain_jitter=0.3, verbose=False)
+
+    xb = np.concatenate([x, np.ones((n, 1), np.float32)], axis=1)
+    a = xb.T @ xb / sigma ** 2 + np.eye(d + 1) / tau ** 2
+    cov = np.linalg.inv(a)
+    mean = cov @ (xb.T @ y / sigma ** 2)
+
+    pooled = res.theta_pooled
+    got_b = pooled[:, 0]
+    got_w = pooled[:, 1:]
+    got_mean = np.concatenate([got_w.mean(axis=0), [got_b.mean()]])
+    got_sd = np.concatenate([got_w.std(axis=0), [got_b.std()]])
+    want_sd = np.sqrt(np.diag(cov))
+
+    np.testing.assert_allclose(got_mean, mean, atol=0.05)
+    np.testing.assert_allclose(got_sd, want_sd, rtol=0.25)
