@@ -84,6 +84,7 @@ class Predictor:
         self._param_device_cache = {}
         self._apply_ens = jax.jit(jax.vmap(self._apply_one, in_axes=(0, None)))
         self._apply_ens_sharded = None   # built lazily per mesh
+        self._mesh_cache = None          # (mesh, {thin_n: ensemble})
 
     # -- loading ---------------------------------------------------------------
 
@@ -184,11 +185,17 @@ class Predictor:
         n_ens = mesh.shape[CHAIN_AXIS]
         n_dat = mesh.shape[DATA_AXIS]
 
-        cache_key = ("mesh", id(mesh), n)
-        cached = self._param_device_cache.get(cache_key)
+        # one mesh at a time: the cache holds a strong mesh reference
+        # (identity-compared, so a GC'd mesh can never alias a new one)
+        # and resets when the mesh changes — no unbounded growth across
+        # meshes, and repeated calls on one mesh skip the transfer
+        if getattr(self, "_mesh_cache", None) is None or \
+                self._mesh_cache[0] is not mesh:
+            self._mesh_cache = (mesh, {})
+        cached = self._mesh_cache[1].get(n)
         if cached is None:
-            params = jax.tree.map(lambda v: np.asarray(v)[::n],
-                                  self.param_samples)
+            params = jax.tree.map(np.asarray, self._thin(
+                self.param_samples, n))
             s = next(np.asarray(v).shape[0]
                      for lp in params for v in lp.values())
             pad_s = (-s) % n_ens
@@ -201,7 +208,7 @@ class Predictor:
                 jax.tree.map(lambda v: jnp.asarray(v, self.dtype), params),
                 NamedSharding(mesh, P(CHAIN_AXIS)))
             cached = (params, s)
-            self._param_device_cache[cache_key] = cached
+            self._mesh_cache[1][n] = cached
         params, s = cached
 
         b = x.shape[0]

@@ -379,6 +379,14 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
         saved_adapters = host["adapter"]
         if not isinstance(saved_adapters, list):
             saved_adapters = [saved_adapters]
+        if len(saved_adapters) != n_grp:
+            # fingerprinted checkpoints raise above; this catches legacy
+            # ones (no fingerprint) resumed under a different n_adapters
+            raise ValueError(
+                f"checkpoint in {checkpoint_dir} holds "
+                f"{len(saved_adapters)} adapter state(s) but this run has "
+                f"n_adapters={n_grp}; resume with the original adapter "
+                f"count (or delete the checkpoint to start fresh)")
         for a, st in zip(adapters, saved_adapters):
             a.load_state_dict(st)
         iter_ = int(host["iter"])

@@ -179,3 +179,32 @@ def test_resume_rejects_changed_n_adapters(tmp_path):
     with pytest.raises(ValueError, match="n_adapters"):
         sample_posterior(model, lik, x, y, key=jax.random.key(5),
                          checkpoint_dir=ck, n_adapters=1, **kw)
+
+
+def test_legacy_checkpoint_adapter_count_mismatch_raises(tmp_path):
+    """A checkpoint without a fingerprint (legacy) resumed under a
+    different n_adapters gets a clear adapter-count error, not a shape
+    error from partially-loaded state."""
+    import json
+    import os
+
+    model, lik, x, y, params, hypers = _toy_problem()
+    ck = str(tmp_path / "ck")
+    sample_posterior(model, lik, x, y, config=_config(), params=params,
+                     hypers=hypers, key=jax.random.key(5), epochs=12,
+                     sampling_step=4, n_chains=4, n_adapters=1,
+                     checkpoint_dir=ck, verbose=False)
+    # strip the fingerprint, emulating a pre-fingerprint checkpoint
+    p = os.path.join(ck, "resume.json")
+    with open(p) as f:
+        host = json.load(f)
+    host.pop("fingerprint", None)
+    with open(p, "w") as f:
+        json.dump(host, f)
+
+    with pytest.raises(ValueError, match="adapter state"):
+        sample_posterior(model, lik, x, y, config=_config(),
+                         params=params, hypers=hypers,
+                         key=jax.random.key(5), epochs=24,
+                         sampling_step=4, n_chains=4, n_adapters=2,
+                         checkpoint_dir=ck, verbose=False)

@@ -223,8 +223,8 @@ def test_predictor_mesh_sharded_inference(tmp_path):
     params, hypers = model.init(jax.random.key(1))
     flat = flatten_state(params, hypers, {})
 
-    n_nets = 10   # not a multiple of the 2-device chains axis? 10 % 2 == 0;
-    # use 11 to exercise ensemble padding and 13 rows for batch padding
+    # 11 networks exercise ensemble padding on the 2-device chains axis;
+    # 13 rows exercise batch padding on the 4-device data axis
     n_nets = 11
     rng = np.random.default_rng(2)
     thetas = jnp.asarray(
