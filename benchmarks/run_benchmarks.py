@@ -291,7 +291,6 @@ def bench_surrogate_quality():
     from tensorbnn_tpu.models.sequential import Sequential
     from tensorbnn_tpu.network import Network
     from tensorbnn_tpu.sampler.potential import flatten_state
-    from tensorbnn_tpu.utils.autocorr import integrated_time
 
     n_points, d_in, width = 1_000_000, 8, 64
     rng = np.random.default_rng(1)
@@ -338,6 +337,7 @@ def bench_surrogate_quality():
     series = np.asarray(jax.jit(jax.vmap(
         lambda th: net.model.apply(flat.unravel_theta(th), xq)[0, 0]))(
         jnp.asarray(res.theta_samples[:, 0])))
+    from tensorbnn_tpu.utils.autocorr import integrated_time
     tau = integrated_time(series, quiet=True)
     ess = len(series) / max(float(tau), 1.0) if np.isfinite(tau) \
         else float(len(series))
@@ -375,7 +375,6 @@ def bench_ess(n_chains: int = 64, n_adapters: int = 1):
     from tensorbnn_tpu import FixedGaussianLikelihood, GaussianDenseLayer, \
         Tanh
     from tensorbnn_tpu.network import Network
-    from tensorbnn_tpu.utils.autocorr import integrated_time
 
     train_in = np.linspace(-2, 2, num=11)
     target = (np.sin(train_in * math.pi * 2) * train_in
@@ -407,11 +406,8 @@ def bench_ess(n_chains: int = 64, n_adapters: int = 1):
         lambda th: net.model.apply(flat.unravel_theta(th), xq)[0, 0])))(
         jnp.asarray(res.theta_samples))            # (S, C)
     series = np.asarray(series)
-    total_ess = 0.0
-    for c in range(series.shape[1]):
-        tau = integrated_time(series[:, c], quiet=True)
-        if np.isfinite(tau) and tau > 0:
-            total_ess += series.shape[0] / max(tau, 1.0)
+    from tensorbnn_tpu.utils.autocorr import effective_sample_size_batch
+    total_ess = effective_sample_size_batch(series.T)
     log(f"ess: {total_ess:.1f} effective samples across {n_chains} chains "
         f"in {dt:.1f}s wall (incl. compile)")
     print(json.dumps({

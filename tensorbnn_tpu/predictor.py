@@ -26,7 +26,6 @@ term returns zeros, reference likelihood.py:239-243).
 
 from __future__ import annotations
 
-import math
 import os
 from typing import Dict, List, Optional, Sequence
 
@@ -295,19 +294,17 @@ class Predictor:
     def autocorrelation(self, input_data, n_max: int) -> np.ndarray:
         """Mean normalized autocorrelation function of the predictions,
         averaged over test points with finite integrated time (reference
-        predictor.py:275-292)."""
+        predictor.py:275-292). One batched FFT over all test points."""
         preds = self.predict(input_data, n=1)
         output = np.squeeze(np.asarray(preds)).T  # (points, S)
         output = np.atleast_2d(output)
 
-        val_func = 0.0
-        accepted = 0
-        for series in output:
-            tau = autocorr.integrated_time(series, tol=5, quiet=True)
-            if not math.isnan(tau):
-                val_func = val_func + autocorr.autocorr_function_1d(series)
-                accepted += 1
-        val_func = val_func / max(accepted, 1)
+        taus = autocorr.integrated_time_batch(output)
+        ok = ~np.isnan(taus)
+        if not np.any(ok):
+            return np.atleast_1d(np.zeros(output.shape[1]))[:n_max]
+        val_func = np.mean(
+            [autocorr.autocorr_function_1d(s) for s in output[ok]], axis=0)
         val_func = np.atleast_1d(val_func)
         if n_max < len(val_func):
             val_func = val_func[:n_max]
@@ -315,19 +312,14 @@ class Predictor:
 
     def autocorrelation_length(self, input_data, n_max: int) -> float:
         """Mean integrated autocorrelation time over test points (reference
-        predictor.py:294-312)."""
+        predictor.py:294-312). One batched FFT over all test points."""
         preds = self.predict(input_data, n=1)
         output = np.squeeze(np.asarray(preds)).T
         output = np.atleast_2d(output)
 
-        val = 0.0
-        accepted = 0
-        for series in output:
-            tau = autocorr.integrated_time(series, tol=5, quiet=True)
-            if not math.isnan(tau):
-                val += tau
-                accepted += 1
-        val = val / max(accepted, 1)
+        taus = autocorr.integrated_time_batch(output)
+        ok = ~np.isnan(taus)
+        val = float(taus[ok].mean()) if np.any(ok) else 0.0
         if val > n_max:
             print("Correlation time is greater than maximum accepted value.")
         return float(val)

@@ -73,3 +73,41 @@ def effective_sample_size(x: np.ndarray, c: float = 5.0) -> float:
     if np.isnan(tau) or tau <= 0:
         return float("nan")
     return len(x) / tau
+
+
+def integrated_time_batch(x: np.ndarray, c: float = 5.0) -> np.ndarray:
+    """Per-row integrated autocorrelation times of a (rows, n) batch.
+
+    One batched FFT + vectorized Sokal window instead of a Python loop of
+    ``integrated_time`` calls — row-for-row identical results (including
+    the all-True-window and NaN conventions); the wide-fleet ESS benches
+    spend real wall in this extraction at 512-4096 chains.
+    """
+    x = np.atleast_2d(np.asarray(x, dtype=np.float64))
+    rows, n = x.shape
+    if rows == 0 or n == 0:
+        return np.full((rows,), np.nan)
+    m = _next_pow_two(n)
+    f = np.fft.fft(x - x.mean(axis=1, keepdims=True), n=2 * m, axis=1)
+    acf = np.fft.ifft(f * np.conjugate(f), axis=1)[:, :n].real
+    with np.errstate(invalid="ignore", divide="ignore"):
+        acf = acf / acf[:, :1]
+    taus = 2.0 * np.cumsum(acf, axis=1) - 1.0
+    mask = np.arange(n)[None, :] < c * taus
+    # first False per row (argmin over bool), len-1 when nothing is True —
+    # exactly _auto_window's conventions, NaN rows included (NaN
+    # comparisons are all False -> window = n-1 -> tau stays NaN)
+    win = np.where(mask.any(axis=1), np.argmin(mask, axis=1), n - 1)
+    return taus[np.arange(rows), win]
+
+
+def effective_sample_size_batch(x: np.ndarray, c: float = 5.0) -> float:
+    """Total ESS summed over rows (chains), NaN/nonpositive rows skipped;
+    each finite tau is floored at 1 (a chain cannot exceed one effective
+    sample per draw)."""
+    x = np.atleast_2d(np.asarray(x, dtype=np.float64))
+    taus = integrated_time_batch(x, c=c)
+    ok = np.isfinite(taus) & (taus > 0)
+    if not np.any(ok):
+        return 0.0
+    return float(np.sum(x.shape[1] / np.maximum(taus[ok], 1.0)))

@@ -78,3 +78,39 @@ def test_run_tracer_counts():
     s = t.summary()
     assert s["chunks"] == 2 and s["epochs"] == 15
     assert s["leapfrog_steps_per_sec"] > 0
+
+
+def test_integrated_time_batch_matches_scalar():
+    """Batched taus are row-for-row identical to per-row integrated_time,
+    including a constant (NaN) row and an IID row."""
+    from tensorbnn_tpu.utils.autocorr import (
+        effective_sample_size_batch,
+        integrated_time,
+        integrated_time_batch,
+    )
+
+    rng = np.random.default_rng(0)
+    n = 600
+    rows = []
+    for phi in (0.0, 0.5, 0.9):     # IID and two AR(1) strengths
+        e = rng.normal(size=n)
+        x = np.empty(n)
+        x[0] = e[0]
+        for t in range(1, n):
+            x[t] = phi * x[t - 1] + e[t]
+        rows.append(x)
+    rows.append(np.full(n, 3.0))    # constant -> NaN tau
+    batch = np.stack(rows)
+
+    taus = integrated_time_batch(batch)
+    for i, row in enumerate(batch):
+        want = integrated_time(row, quiet=True)
+        if np.isnan(want):
+            assert np.isnan(taus[i])
+        else:
+            np.testing.assert_allclose(taus[i], want, rtol=1e-12)
+
+    total = effective_sample_size_batch(batch)
+    want_total = sum(n / max(integrated_time(r, quiet=True), 1.0)
+                     for r in batch[:3])
+    np.testing.assert_allclose(total, want_total, rtol=1e-12)
