@@ -12,6 +12,7 @@ over TPU meshes.
 from tensorbnn_tpu import distributions
 from tensorbnn_tpu.likelihoods import (
     BernoulliLikelihood,
+    CategoricalLikelihood,
     FixedGaussianLikelihood,
     GaussianLikelihood,
     Likelihood,
@@ -42,6 +43,7 @@ __all__ = [
     "GaussianLikelihood",
     "FixedGaussianLikelihood",
     "BernoulliLikelihood",
+    "CategoricalLikelihood",
     "LayerSpec",
     "GaussianDenseLayer",
     "CauchyDenseLayer",

@@ -105,3 +105,20 @@ def bernoulli_logprob(probs, y):
     p = jnp.clip(jnp.asarray(probs), 1e-8, 1.0 - 1e-7)
     y = jnp.asarray(y)
     return y * jnp.log(p) + (1.0 - y) * jnp.log1p(-p)
+
+
+def categorical_logprob(probs, labels):
+    """Per-row categorical log pmf over probability-valued rows.
+
+    ``probs`` is (..., k) (e.g. a Softmax head's output), ``labels`` either
+    integer class ids (...,) or one-hot (..., k). Probabilities are clipped
+    below at 1e-8, matching the Bernoulli clip's floor (reference
+    likelihood.py:225-237; the reference has no multiclass likelihood —
+    this extends its classification family beyond binary).
+    """
+    p = jnp.clip(jnp.asarray(probs), 1e-8, 1.0)
+    labels = jnp.asarray(labels)
+    if labels.ndim == p.ndim:            # one-hot
+        return jnp.sum(labels * jnp.log(p), axis=-1)
+    return jnp.log(jnp.take_along_axis(
+        p, labels[..., None].astype(jnp.int32), axis=-1))[..., 0]

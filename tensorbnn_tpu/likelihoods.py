@@ -105,3 +105,24 @@ class BernoulliLikelihood(Likelihood):
         del hypers
         y = jnp.reshape(y, preds.shape)
         return jnp.sum(bernoulli_logprob(preds, y))
+
+
+@dataclasses.dataclass(frozen=True)
+class CategoricalLikelihood(Likelihood):
+    """Categorical likelihood over probability-valued rows (multiclass).
+
+    New capability beyond the reference (which ships a Softmax activation,
+    activationFunctions.py:79-89, but only a binary Bernoulli likelihood):
+    the model's final layer must output a probability row per example
+    (e.g. end with ``Softmax()``); ``y`` holds integer class ids or
+    one-hot rows. No hypers; like the other classification likelihood it
+    does not couple into the hyper chain.
+    """
+
+    main_probs_in_hypers: bool = False
+    n_ref_hyper_scalars: int = 0
+
+    def log_likelihood(self, preds, y, hypers):
+        del hypers
+        from tensorbnn_tpu.distributions import categorical_logprob
+        return jnp.sum(categorical_logprob(preds, y))

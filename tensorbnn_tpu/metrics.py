@@ -79,3 +79,25 @@ class Accuracy(Metric):
     def display(self):
         return (f"training accuracy{self.train: 9.5f} "
                 f"validation accuracy{self.validate: 9.5f}")
+
+
+class MulticlassAccuracy(Metric):
+    """Argmax accuracy over probability rows (new beyond the reference,
+    paired with CategoricalLikelihood; the reference's Accuracy is binary
+    rounding, metrics.py:110-141). Real values may be class ids or
+    one-hot rows; unscaling options do not apply."""
+
+    def calculate(self, preds_train, preds_validate, real_train,
+                  real_validate):
+        def acc(preds, real):
+            pred_cls = jnp.argmax(preds, axis=-1)
+            real = jnp.asarray(real)
+            if real.ndim == jnp.ndim(preds):
+                real = jnp.argmax(real, axis=-1)
+            return float(jnp.mean(pred_cls == real.astype(pred_cls.dtype)))
+        self.train = acc(preds_train, real_train)
+        self.validate = acc(preds_validate, real_validate)
+
+    def display(self):
+        return (f"training accuracy{self.train: 9.5f} "
+                f"validation accuracy{self.validate: 9.5f}")

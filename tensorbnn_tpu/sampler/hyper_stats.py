@@ -57,7 +57,7 @@ def make_stats_hyper(model, likelihood, x, y, unravel_eta,
     not quadratic in theta and fall back to the generic potential.
     """
     from tensorbnn_tpu.likelihoods import BernoulliLikelihood, \
-        FixedGaussianLikelihood, GaussianLikelihood
+        CategoricalLikelihood, FixedGaussianLikelihood, GaussianLikelihood
     from tensorbnn_tpu.models.layers import GaussianDenseLayer
 
     # flat-index probe, trace-safe (the chunk runner builds the epoch fn
@@ -97,7 +97,8 @@ def make_stats_hyper(model, likelihood, x, y, unravel_eta,
         coupled = True
         sd_idx = int(np.asarray(probe_l["sd_root"]))
     elif not isinstance(likelihood, (FixedGaussianLikelihood,
-                                     BernoulliLikelihood)):
+                                     BernoulliLikelihood,
+                                     CategoricalLikelihood)):
         return None
     if likelihood.main_probs_in_hypers != coupled:
         return None  # unexpected coupling contract
