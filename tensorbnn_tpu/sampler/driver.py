@@ -133,6 +133,17 @@ class RunResult:
         s, c, d = self.theta_samples.shape
         return np.transpose(self.theta_samples, (1, 0, 2)).reshape(-1, d)
 
+    def split_rhat(self) -> np.ndarray:
+        """Per-parameter split R-hat over the raw (S, C, D) stack
+        (utils.diagnostics; values near 1 indicate convergence)."""
+        from tensorbnn_tpu.utils.diagnostics import split_rhat
+        return split_rhat(self.theta_samples)
+
+    def multichain_ess(self) -> float:
+        """Pooled cross-chain ESS of the parameter traces."""
+        from tensorbnn_tpu.utils.diagnostics import multichain_ess
+        return multichain_ess(self.theta_samples)
+
     @property
     def eta_pooled(self) -> np.ndarray:
         s, c, h = self.eta_samples.shape

@@ -114,3 +114,34 @@ def test_integrated_time_batch_matches_scalar():
     want_total = sum(n / max(integrated_time(r, quiet=True), 1.0)
                      for r in batch[:3])
     np.testing.assert_allclose(total, want_total, rtol=1e-12)
+
+
+def test_runresult_diagnostics_methods():
+    """RunResult exposes split_rhat / multichain_ess over its raw stacks."""
+    import math
+
+    import jax
+    import jax.numpy as jnp
+
+    from tensorbnn_tpu import (FixedGaussianLikelihood, GaussianDenseLayer,
+                               Tanh)
+    from tensorbnn_tpu.network import Network
+
+    x = np.linspace(-1, 1, 9)
+    y = np.sin(x * math.pi)
+    net = Network(jnp.float32, 1, x, y, x, y, seed=3)
+    net.add(GaussianDenseLayer(1, 4)).add(Tanh())
+    net.add(GaussianDenseLayer(4, 1))
+    net.setup_mcmc(step_size_start=5e-3, step_size_min=1e-3,
+                   step_size_max=1e-2, step_size_options=5,
+                   leapfrog_start=6, leapfrog_min=2, leapfrog_max=12,
+                   leapfrog_increment=2, hyper_leapfrog=4, burnin=20,
+                   averaging_steps=5, random_steps=2)
+    res = net.train(120, 2, FixedGaussianLikelihood(sd=0.1),
+                    n_chains=4, chain_jitter=0.05, verbose=False)
+
+    rhat = res.split_rhat()
+    assert rhat.shape == (res.theta_samples.shape[-1],)
+    assert np.all(np.isfinite(rhat) | np.isnan(rhat))
+    ess = res.multichain_ess()
+    assert ess > 0
