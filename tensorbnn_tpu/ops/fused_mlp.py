@@ -23,7 +23,9 @@ Scope (benchmark-gated, enabled when the model matches and the working set
 fits VMEM): stacks of dense layers with tanh / relu / sigmoid / elu / exp /
 leaky-relu activations plus the *sampled* Prelu / SquarePrelu slopes
 (reference activationFunctions.py:117-433), under a Gaussian (fixed or
-learned sd) or Bernoulli likelihood (reference likelihood.py:63-243).
+learned sd) or Bernoulli likelihood (reference likelihood.py:63-243), or
+a Softmax head fused with the multiclass CategoricalLikelihood (logits-
+space logsumexp with the closed-form ``onehot - p`` gradient).
 Priors are cheap in theta and stay in XLA, fused into the surrounding scan.
 Everything else falls back to the vmapped XLA potential.
 
@@ -55,6 +57,42 @@ from jax.experimental.pallas import tpu as pltpu
 LOG_2PI = math.log(2.0 * math.pi)
 #: Bernoulli probability clip, reference likelihood.py:225-231
 BERN_LO, BERN_HI = 1e-8, 1.0 - 1e-7
+
+#: categorical probability floor (matches distributions.categorical_logprob)
+CAT_LO = 1e-8
+
+
+def _categorical_tail(out, yb):
+    """(ll (BC,), d ll / d logits) for the fused softmax+categorical head.
+
+    ``out`` holds the final dense layer's logits (N, k, BC); ``yb`` the
+    one-hot labels broadcast to the same shape. Equals
+    ``sum log(clip(softmax(z)_y, 1e-8, 1))`` with gradient
+    ``onehot - softmax(z)`` (zeroed where the observed-class probability
+    is clipped, mirroring the Bernoulli in_range convention)."""
+    # stay 3-D throughout: Mosaic rejects the relayout of a 2-D (N, BC)
+    # intermediate produced by dropping the class axis ("non-singleton
+    # logical dimension is replicated..."), so class-axis reductions keep
+    # dims and the final sum collapses (0, 1) like the Gaussian tail
+    zmax = jnp.max(out, axis=1, keepdims=True)
+    ez = jnp.exp(out - zmax)
+    p = ez / jnp.sum(ez, axis=1, keepdims=True)
+    py = jnp.sum(yb * p, axis=1, keepdims=True)                # (N, 1, BC)
+    ll = jnp.sum(jnp.log(jnp.maximum(py, CAT_LO)), axis=(0, 1))  # (BC,)
+    g = jnp.where(py > CAT_LO, yb - p, 0.0)
+    return ll, g
+
+
+def _prep_labels(y, n: int, dk: int, lik: str):
+    """y as the kernel's (n, dk) plane; categorical class-id labels
+    one-hot encode to the logits width (one-hot input passes through)."""
+    y = jnp.asarray(y)
+    if lik == "categorical" and y.size == n and dk > 1:
+        return jax.nn.one_hot(
+            jnp.reshape(y, (n,)).astype(jnp.int32), dk, dtype=jnp.float32)
+    return jnp.asarray(y, jnp.float32).reshape(n, dk)
+
+
 #: VMEM working-set budget for the kernel (the hardware stack limit is
 #: 16MB/core; the estimate below is tile-padding-aware, so a 12MB budget
 #: leaves headroom for allocator slack)
@@ -204,6 +242,9 @@ def _potential_kernel(ops, n_data: int, lik: str,
                                axis=(0, 1))
         in_range = (out > BERN_LO) & (out < BERN_HI)
         g = jnp.where(in_range, y / p - (1.0 - y) / (1.0 - p), 0.0)
+    elif lik == "categorical":
+        ll, g = _categorical_tail(out, y)
+        ll_ref[0, :] = ll
     else:
         raise ValueError(f"unsupported fused likelihood: {lik}")
 
@@ -330,12 +371,14 @@ def _likelihood_value_vg(ops, n: int, lik: str, q, x, y, sd):
         k = float(out.shape[0] * out.shape[1])
         ll = -0.5 * (quad + 2.0 * k * jnp.log(sd) + k * LOG_2PI)
         g = (yb - out) * (inv_sd * inv_sd)[None, None, :]
-    else:  # bernoulli
+    elif lik == "bernoulli":
         p = jnp.clip(out, BERN_LO, BERN_HI)
         ll = jnp.sum(yb * jnp.log(p) + (1.0 - yb) * jnp.log1p(-p),
                      axis=(0, 1))
         in_range = (out > BERN_LO) & (out < BERN_HI)
         g = jnp.where(in_range, yb / p - (1.0 - yb) / (1.0 - p), 0.0)
+    else:  # categorical (softmax head fused on logits)
+        ll, g = _categorical_tail(out, yb)
 
     blocks = {}
     for rec in reversed(store):
@@ -545,7 +588,7 @@ def make_fused_trajectory(ops, n_rows: int, *, lik: str, prior_rows,
         c = thetas.shape[0]
         bc = choose_block_c(c, block_c)
         x2 = jnp.asarray(x, jnp.float32).reshape(n, d0)
-        y2 = jnp.asarray(y, jnp.float32).reshape(n, dk)
+        y2 = _prep_labels(y, n, dk, lik)
         # (eps, L) stay traced in both modes; per-chain vectors (the
         # n_adapters mode) switch to a statically distinct program with
         # per-lane masks — shared-adapter runs keep the scalar-SMEM
@@ -612,7 +655,7 @@ def try_build_fused_trajectory(model, likelihood, unravel_theta,
     Returns None otherwise.
     """
     from tensorbnn_tpu.likelihoods import BernoulliLikelihood, \
-        FixedGaussianLikelihood, GaussianLikelihood
+        CategoricalLikelihood, FixedGaussianLikelihood, GaussianLikelihood
     from tensorbnn_tpu.models.layers import CauchyDenseLayer, \
         GaussianDenseLayer
 
@@ -678,7 +721,8 @@ def try_build_fused_trajectory(model, likelihood, unravel_theta,
         sd_idx = int(np.asarray(probe_l["sd_root"]))
     elif isinstance(likelihood, FixedGaussianLikelihood):
         sd_const = float(likelihood.sd)
-    elif not isinstance(likelihood, BernoulliLikelihood):
+    elif not isinstance(likelihood, (BernoulliLikelihood,
+                                     CategoricalLikelihood)):
         return None
 
     return make_fused_trajectory(
@@ -835,7 +879,7 @@ def make_fused_potential_vg(ops, n_rows: int, *, lik: str = "gaussian",
         bc = choose_block_c(c, block_c)
         theta_t = thetas.T                          # (D, C)
         x2 = jnp.asarray(x, jnp.float32).reshape(n, d0)
-        y2 = jnp.asarray(y, jnp.float32).reshape(n, dk)
+        y2 = _prep_labels(y, n, dk, lik)
         sd_row = jnp.broadcast_to(
             jnp.asarray(sd, jnp.float32), (c,))[None]
 
@@ -898,9 +942,16 @@ def make_fused_likelihood_vg(dims: Sequence[int], acts: Sequence[str],
 
 
 def _model_program(model, likelihood) -> Optional[Tuple[tuple, str]]:
-    """Pattern-matches (model, likelihood) to an op program, or None."""
+    """Pattern-matches (model, likelihood) to an op program, or None.
+
+    A trailing ``Softmax`` head under ``CategoricalLikelihood`` is fused
+    into the likelihood itself (lik = "categorical" operates on the last
+    dense layer's logits via logsumexp — numerically tighter than
+    softmax-then-log and with the closed-form ``onehot - p`` gradient);
+    a softmax anywhere else is out of scope.
+    """
     from tensorbnn_tpu.likelihoods import BernoulliLikelihood, \
-        FixedGaussianLikelihood, GaussianLikelihood
+        CategoricalLikelihood, FixedGaussianLikelihood, GaussianLikelihood
     from tensorbnn_tpu.models.layers import Activation, CauchyDenseLayer, \
         GaussianDenseLayer, LeakyRelu, Prelu, SquarePrelu
 
@@ -908,6 +959,8 @@ def _model_program(model, likelihood) -> Optional[Tuple[tuple, str]]:
         lik = "gaussian"
     elif isinstance(likelihood, BernoulliLikelihood):
         lik = "bernoulli"
+    elif isinstance(likelihood, CategoricalLikelihood):
+        lik = "categorical"
     else:
         return None
 
@@ -925,7 +978,8 @@ def _model_program(model, likelihood) -> Optional[Tuple[tuple, str]]:
             if d is None:
                 return None
             name = {"Exp": "exp"}.get(layer.name, layer.name)
-            if name not in ("tanh", "relu", "sigmoid", "elu", "exp"):
+            if name not in ("tanh", "relu", "sigmoid", "elu", "exp",
+                            "softmax"):
                 return None
             ops.append((name, d))
         elif isinstance(layer, LeakyRelu):
@@ -940,6 +994,16 @@ def _model_program(model, likelihood) -> Optional[Tuple[tuple, str]]:
         else:
             return None
     if d is None:
+        return None
+    if lik == "categorical":
+        # the softmax head folds into the likelihood; logits stay the
+        # program's output
+        if not ops or ops[-1][0] != "softmax":
+            return None
+        ops = ops[:-1]
+        if not ops:
+            return None
+    if any(op[0] == "softmax" for op in ops):
         return None
     return tuple(ops), lik
 
@@ -1019,7 +1083,7 @@ def try_build_fused_main_vg(model, likelihood, unravel_theta, unravel_eta,
             return sd_fixed
     else:
         def sd_of(etas):
-            return 1.0  # unused by the Bernoulli tail
+            return 1.0  # unused by the Bernoulli/categorical tails
 
     def batched_main_vg(thetas, etas, x_in, y_in):
         lv, lg = fused(thetas, sd_of(etas), x_in, y_in)

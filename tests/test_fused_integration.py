@@ -8,6 +8,7 @@ import numpy as np
 
 from tensorbnn_tpu import (
     BernoulliLikelihood,
+    CategoricalLikelihood,
     FixedGaussianLikelihood,
     GaussianDenseLayer,
     GaussianLikelihood,
@@ -63,12 +64,27 @@ def test_detection_scope():
         pre, lik, flat4.unravel_theta, flat4.unravel_eta, x, y,
         eta_dim=flat4.eta.size, interpret=True) is not None
 
-    # softmax head stays out of scope
+    # softmax head under a Gaussian likelihood stays out of scope...
     soft = Sequential([GaussianDenseLayer(1, 4), Softmax()])
     flat5 = _flat(soft, lik)
     assert try_build_fused_main_vg(
         soft, lik, flat5.unravel_theta, flat5.unravel_eta, x, y,
         eta_dim=flat5.eta.size, interpret=True) is None
+
+    # ...but fuses with CategoricalLikelihood (multiclass head)
+    lik_cat = CategoricalLikelihood()
+    flat6 = _flat(soft, lik_cat)
+    assert try_build_fused_main_vg(
+        soft, lik_cat, flat6.unravel_theta, flat6.unravel_eta, x, y,
+        eta_dim=max(flat6.eta.size, 1), interpret=True) is not None
+
+    # a softmax that is not the head stays out of scope even then
+    mid = Sequential([GaussianDenseLayer(1, 4), Softmax(),
+                      GaussianDenseLayer(4, 3), Softmax()])
+    flat7 = _flat(mid, lik_cat)
+    assert try_build_fused_main_vg(
+        mid, lik_cat, flat7.unravel_theta, flat7.unravel_eta, x, y,
+        eta_dim=max(flat7.eta.size, 1), interpret=True) is None
 
     # huge dataset: VMEM gate rejects (falls back to XLA)
     assert try_build_fused_main_vg(
@@ -122,6 +138,20 @@ def test_fused_classification_vg_matches_xla_potential():
     model = Sequential([GaussianDenseLayer(2, 8), SquarePrelu(8),
                         GaussianDenseLayer(8, 1), Sigmoid()])
     _assert_fused_equals_xla(model, BernoulliLikelihood(), x, y,
+                             theta_scale=0.5)
+
+
+def test_fused_categorical_vg_matches_xla_potential():
+    """Softmax head + CategoricalLikelihood: the fused logits-space tail
+    (logsumexp + onehot-p gradient) == the XLA softmax-then-clip-log
+    potential, with class-id labels."""
+    rng = np.random.default_rng(2)
+    k = 3
+    x = rng.normal(size=(12, 2)).astype(np.float32)
+    y = rng.integers(0, k, size=12).astype(np.float32)
+    model = Sequential([GaussianDenseLayer(2, 6), Tanh(),
+                        GaussianDenseLayer(6, k), Softmax()])
+    _assert_fused_equals_xla(model, CategoricalLikelihood(), x, y,
                              theta_scale=0.5)
 
 

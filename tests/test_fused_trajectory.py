@@ -18,6 +18,7 @@ from tensorbnn_tpu import (
     GaussianDenseLayer,
     GaussianLikelihood,
     Sigmoid,
+    Softmax,
     SquarePrelu,
     Tanh,
 )
@@ -27,19 +28,22 @@ from tensorbnn_tpu.sampler.hmc import leapfrog_batched
 from tensorbnn_tpu.sampler.potential import flatten_state, make_potentials
 
 
-def _setup(model, lik, n=11, d_in=1, seed=0):
+def _setup(model, lik, n=11, d_in=1, seed=0, n_classes=None):
     rng = np.random.default_rng(seed)
     x = rng.normal(size=(n, d_in)).astype(np.float32)
     y = rng.normal(size=(n,)).astype(np.float32)
     if isinstance(lik, BernoulliLikelihood):
         y = (y > 0).astype(np.float32)
+    elif n_classes is not None:
+        y = rng.integers(0, n_classes, size=n).astype(np.float32)
     params, hypers = model.init(jax.random.key(seed))
     flat = flatten_state(params, hypers, lik.init_hypers())
     return x, y, flat
 
 
-def _compare(model, lik, n=11, d_in=1, L=13, eps=1e-2, c=4, seed=0):
-    x, y, flat = _setup(model, lik, n, d_in, seed)
+def _compare(model, lik, n=11, d_in=1, L=13, eps=1e-2, c=4, seed=0,
+             n_classes=None):
+    x, y, flat = _setup(model, lik, n, d_in, seed, n_classes=n_classes)
     traj = try_build_fused_trajectory(
         model, lik, flat.unravel_theta, flat.unravel_eta, x, y,
         eta_dim=flat.eta.size, block_c=c, interpret=True)
@@ -231,3 +235,14 @@ def test_trajectory_per_chain_matches_independent_runs():
                                    rtol=1e-4, atol=1e-5)
         np.testing.assert_allclose(float(lp1_b[i]), float(lp1_i[0]),
                                    rtol=1e-4, atol=1e-3)
+
+
+def test_trajectory_matches_xla_softmax_categorical():
+    """Multiclass head (Softmax + CategoricalLikelihood) through the
+    trajectory kernel: the fused logits-space tail matches the XLA
+    softmax-then-clip-log potential across a whole trajectory."""
+    from tensorbnn_tpu import CategoricalLikelihood
+    model = Sequential([GaussianDenseLayer(2, 6), Tanh(),
+                        GaussianDenseLayer(6, 3), Softmax()])
+    _compare(model, CategoricalLikelihood(), d_in=2, L=7, eps=2e-2,
+             n_classes=3)
