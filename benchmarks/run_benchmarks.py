@@ -241,6 +241,53 @@ def bench_classification():
     }))
 
 
+def bench_multiclass():
+    """Multiclass classification (Softmax head + CategoricalLikelihood,
+    new beyond the reference's binary path) at a tiny latency-bound
+    shape: trajectory kernel vs XLA."""
+    import jax
+
+    from tensorbnn_tpu import CategoricalLikelihood, GaussianDenseLayer, \
+        Softmax, Tanh
+    from tensorbnn_tpu.models.sequential import Sequential
+
+    k, width, n_data, n_chains = 3, 8, 16, 128
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(n_data, 2)).astype(np.float32)
+    y = rng.integers(0, k, size=n_data).astype(np.float32)
+    model = Sequential([GaussianDenseLayer(2, width), Tanh(),
+                        GaussianDenseLayer(width, k), Softmax()])
+
+    on_tpu = jax.default_backend() == "tpu"
+    rates = {}
+    for mode in (("traj", False) if on_tpu else (False,)):
+        name = {False: "xla", "traj": "trajectory"}[mode]
+        try:
+            steps, dt, acc, _ = _bench_sampler(
+                model, x, y, n_chains=n_chains, leapfrog=20,
+                hyper_leapfrog=5, chunk=10, n_chunks=5, step_size=1e-2,
+                likelihood=CategoricalLikelihood(), use_fused=mode)
+        except RuntimeError as e:
+            log(f"multiclass {name}: skipped ({e})")
+            continue
+        rates[name] = steps / dt
+        log(f"multiclass {name}: "
+            f"{steps / dt:,.0f} steps/sec, accept {acc:.3f}")
+
+    best = max(rates, key=rates.get)
+    print(json.dumps({
+        "metric": "multiclass leapfrog steps/sec/chip "
+                  f"(Softmax+Categorical, {k} classes, {n_chains} chains)",
+        "value": round(rates[best], 1),
+        "unit": "leapfrog steps/sec",
+        "potential": best,
+        **({"xla_value": round(rates["xla"], 1),
+            "trajectory_speedup": round(
+                rates["trajectory"] / rates["xla"], 3)}
+           if "trajectory" in rates and "xla" in rates else {}),
+    }))
+
+
 def bench_surrogate():
     import jax
     from tensorbnn_tpu import GaussianDenseLayer, Tanh
@@ -493,6 +540,8 @@ def main():
         bench_surrogate_quality()
     if which in ("classification", "all"):
         bench_classification()
+    if which in ("multiclass", "all"):
+        bench_multiclass()
     if which in ("ess", "all"):
         bench_ess()
     if which == "ess512":
