@@ -253,9 +253,12 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
             block_c=block_c, interpret=not on_tpu,
             axis_name=axis_name, n_rows=local_rows,
             require_profitable=auto)
-        if mesh is None:
+        if mesh is None or mesh.shape[DATA_AXIS] == 1:
             # whole-trajectory kernel: all L leapfrog steps in one Pallas
-            # program (single-shard only; a psum cannot run inside it)
+            # program. A psum cannot run inside it, so it needs the full
+            # data batch on every device — true single-chip AND on
+            # chain-only meshes (data axis 1: each chain shard holds the
+            # whole dataset, the production chain-parallel fleet layout)
             from tensorbnn_tpu.ops.fused_mlp import \
                 try_build_fused_trajectory
             batched_main_traj = try_build_fused_trajectory(

@@ -261,3 +261,41 @@ def test_fused_and_xla_sampling_identical():
     b = run(False)
     np.testing.assert_allclose(a.theta_samples, b.theta_samples,
                                rtol=2e-4, atol=2e-5)
+
+
+def test_trajectory_on_chain_only_mesh_matches_xla():
+    """Chain-only meshes (data axis 1) run the full-trajectory kernel:
+    every chain shard holds the whole dataset, so no psum is needed
+    inside the program. Identical PRNG streams -> identical samples vs
+    the XLA path on the same mesh."""
+    from tensorbnn_tpu.network import Network
+    from tensorbnn_tpu.ops import fused_mlp
+    from tensorbnn_tpu.parallel import mesh as mesh_lib
+
+    dev_mesh = mesh_lib.make_mesh(n_chain_devices=8, n_data_devices=1)
+    x = np.linspace(-1, 1, 9)
+    y = np.sin(x * math.pi)
+
+    def run(traj_on):
+        orig = fused_mlp.try_build_fused_trajectory
+        if not traj_on:
+            fused_mlp.try_build_fused_trajectory = lambda *a, **k: None
+        try:
+            net = Network(jnp.float32, 1, x, y, x, y, seed=12)
+            net.add(GaussianDenseLayer(1, 6)).add(Tanh())
+            net.add(GaussianDenseLayer(6, 1))
+            net.setup_mcmc(step_size_start=1e-3, leapfrog_start=8,
+                           leapfrog_min=4, leapfrog_max=16, burnin=10,
+                           averaging_steps=5, hyper_leapfrog=4,
+                           random_steps=1)
+            return net.train(30, 4, FixedGaussianLikelihood(sd=0.1),
+                             n_chains=8, mesh=dev_mesh, verbose=False,
+                             use_fused=True)
+        finally:
+            fused_mlp.try_build_fused_trajectory = orig
+
+    a = run(True)
+    b = run(False)
+    np.testing.assert_allclose(a.theta_samples, b.theta_samples,
+                               rtol=2e-3, atol=2e-4)
+    assert 0 < a.main_accept.mean() <= 1.0
