@@ -124,7 +124,13 @@ class RunWriter:
     """
 
     def __init__(self, path: str, model: Sequential, likelihood: Likelihood,
-                 networks_per_file: int):
+                 networks_per_file: int, resume_state: dict = None):
+        """``resume_state`` (a prior ``state_dict()``) restores mid-run
+        streaming: the on-disk files are truncated back to exactly the
+        checkpointed network count (a crash may have streamed a tail past
+        the checkpoint) and appending continues from there. Without it,
+        stale stream files from a previous run in ``path`` are removed
+        (the files are opened in append mode)."""
         self.path = path
         self.model = model
         self.likelihood = likelihood
@@ -140,6 +146,73 @@ class RunWriter:
         self._files = None
         self._n_hyper_scalars = None
         self._chain_ids: List[int] = []
+        if resume_state is not None:
+            self._restore(resume_state)
+        else:
+            self._remove_stream_files(from_idx=0)
+
+    # -- resume support ---------------------------------------------------------
+
+    def state_dict(self) -> dict:
+        return {
+            "n_written": self._n_written,
+            "file_idx": self._file_idx,
+            "chain_ids": list(self._chain_ids),
+            "shapes": ([list(s) for s in self._shapes]
+                       if self._n_hyper_scalars is not None else None),
+            "n_hyper_scalars": self._n_hyper_scalars,
+        }
+
+    def _lines_per_network(self, shape) -> int:
+        # np.savetxt writes one line per leading-axis row (atleast_1d)
+        return int(shape[0]) if len(shape) else 1
+
+    def _stream_paths(self, idx: int):
+        paths = [os.path.join(self.path, f"{n}.{idx}.txt")
+                 for n in range(self._n_tensors)]
+        paths.append(os.path.join(self.path, f"hypers{idx}.txt"))
+        return paths
+
+    def _remove_stream_files(self, from_idx: int):
+        idx = from_idx
+        while True:
+            paths = [p for p in self._stream_paths(idx)
+                     if os.path.exists(p)]
+            if not paths:
+                break
+            for p in paths:
+                os.remove(p)
+            idx += 1
+
+    def _restore(self, state: dict) -> None:
+        self._n_written = int(state["n_written"])
+        self._file_idx = int(state["file_idx"])
+        self._chain_ids = [int(c) for c in state["chain_ids"]]
+        self._n_hyper_scalars = state["n_hyper_scalars"]
+        if self._n_hyper_scalars is None:
+            # checkpoint taken before the first network was streamed
+            self._remove_stream_files(from_idx=0)
+            return
+        self._shapes = [tuple(s) for s in state["shapes"]]
+        # drop any files past the checkpointed rotation, then truncate the
+        # in-progress file set to the checkpointed partial count
+        self._remove_stream_files(from_idx=self._file_idx + 1)
+        partial = self._n_written % self.per_file
+        keep_rows = [partial * self._lines_per_network(s)
+                     for s in self._shapes]
+        keep_rows.append(partial * (self._n_hyper_scalars or 0))
+        for p, rows in zip(self._stream_paths(self._file_idx), keep_rows):
+            if not os.path.exists(p):
+                continue
+            if rows == 0:
+                os.remove(p)
+                continue
+            with open(p, "rb") as f:
+                lines = f.readlines()
+            with open(p, "wb") as f:
+                f.writelines(lines[:rows])
+        self._open_files()
+        self._write_summary()
 
     def _open_files(self):
         self._files = [
@@ -194,21 +267,16 @@ class RunWriter:
 
     def close(self) -> int:
         """Finalizes; returns the number of recorded (complete-file)
-        networks."""
+        networks.
+
+        A trailing partial file stays on disk: ``summary.txt`` counts
+        complete files only (the reference's semantics, network.py:
+        628-646), so loaders never read it — and a later resume from a
+        checkpoint taken mid-file needs those networks to truncate back
+        to rather than re-sample."""
         if self._files:
             for f in self._files:
                 f.close()
-            # drop the trailing partial file, mirroring the reference's
-            # summary semantics (complete files only)
-            if self._n_written % self.per_file:
-                for n in range(self._n_tensors):
-                    p = os.path.join(self.path,
-                                     f"{n}.{self._file_idx}.txt")
-                    if os.path.exists(p):
-                        os.remove(p)
-                p = os.path.join(self.path, f"hypers{self._file_idx}.txt")
-                if os.path.exists(p):
-                    os.remove(p)
             self._write_summary()
         return (self._n_written // self.per_file) * self.per_file
 

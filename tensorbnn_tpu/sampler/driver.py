@@ -336,23 +336,12 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
             f"projected posterior) with folder_name=None would discard "
             f"every sampled network; pass folder_name= to stream to disk "
             f"or keep_samples=True to buffer in memory")
+    # the streaming writer is created after the resume load below so an
+    # interrupted streamed run can truncate its files back to the
+    # checkpoint and continue appending (writer state lives in the
+    # checkpoint's host_state)
+    streaming = folder_name is not None and not keep_samples
     writer = None
-    if folder_name is not None and not keep_samples:
-        if checkpoint_dir is not None:
-            # resuming would append duplicate networks to the already-
-            # written sample files; buffer in memory for resumable runs
-            raise ValueError(
-                "streaming sample writes (keep_samples=False) cannot be "
-                "combined with checkpoint_dir resume; pass "
-                "keep_samples=True or drop checkpoint_dir")
-        writer = reference_format.RunWriter(
-            folder_name, model, likelihood, networks_per_file)
-        if verbose:
-            print(f"streaming samples to {folder_name} "
-                  f"(~{projected / 1e9:.1f}GB posterior exceeds the "
-                  f"in-memory budget; multichain disk order is time-major "
-                  f"with per-network chain ids in chains.txt — the "
-                  f"Predictor reorders to chain-major on load)")
 
     iter_ = 0  # completed epochs, reference 1-based bookkeeping
 
@@ -411,8 +400,22 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
             "theta_samples", np.zeros((0, 1, 1)))]
         eta_samples = [a for a in arrays.get(
             "eta_samples", np.zeros((0, 1, 1)))]
+        if streaming:
+            writer = reference_format.RunWriter(
+                folder_name, model, likelihood, networks_per_file,
+                resume_state=host.get("writer"))
         if verbose:
             print(f"resumed from {checkpoint_dir} at epoch {iter_}")
+
+    if streaming and writer is None:
+        writer = reference_format.RunWriter(
+            folder_name, model, likelihood, networks_per_file)
+        if verbose:
+            print(f"streaming samples to {folder_name} "
+                  f"(~{projected / 1e9:.1f}GB posterior exceeds the "
+                  f"in-memory budget; multichain disk order is time-major "
+                  f"with per-network chain ids in chains.txt — the "
+                  f"Predictor reorders to chain-major on load)")
 
     def _save_checkpoint():
         arrays = {
@@ -438,6 +441,8 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
                               else [float(s) for s in step_sizes]),
                 "leapfrog": (int(leapfrogs[0]) if n_grp == 1
                              else [int(v) for v in leapfrogs]),
+                "writer": (writer.state_dict() if writer is not None
+                           else None),
                 "fingerprint": fingerprint})
 
     chunks_done = 0

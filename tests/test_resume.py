@@ -120,3 +120,80 @@ def test_discarding_samples_without_folder_raises():
     net = _make_net()
     with pytest.raises(ValueError, match="keep_samples"):
         net.train(80, 5, lik, verbose=False, keep_samples=False)
+
+
+def test_streamed_run_resumes_and_matches_uninterrupted(tmp_path):
+    """Streaming writes (keep_samples=False) now compose with
+    checkpoint/resume: the interrupted run truncates its stream files
+    back to the checkpoint and continues — the final on-disk ensemble
+    equals the uninterrupted streamed run's, byte for byte."""
+    import os
+
+    import jax
+
+    from tensorbnn_tpu.sampler.driver import sample_posterior
+
+    lik = FixedGaussianLikelihood(sd=0.1)
+
+    def run_streamed(folder, interrupt):
+        net = _make_net()
+        params, hypers = net.init_state()
+        key = jax.random.split(net.key)[1]
+        ckpt = str(tmp_path / f"ckpt_{interrupt}")
+        common = dict(config=net.config, params=params, hypers=hypers,
+                      key=key, sampling_step=5, adjust_hypers=True,
+                      verbose=False, keep_samples=False,
+                      folder_name=folder, networks_per_file=3,
+                      n_chains=2,
+                      checkpoint_dir=ckpt, checkpoint_every=1)
+        if interrupt:
+            sample_posterior(net.model, lik, net.train_x, net.train_y,
+                             epochs=45, **common)
+            # the 45-epoch stop streamed past the last checkpoint only if
+            # chunks straddle sampling epochs; resume must reconcile
+        return sample_posterior(net.model, lik, net.train_x, net.train_y,
+                                epochs=80, **common)
+
+    d_full = str(tmp_path / "full")
+    d_resumed = str(tmp_path / "resumed")
+    run_streamed(d_full, interrupt=False)
+    run_streamed(d_resumed, interrupt=True)
+
+    names = sorted(n for n in os.listdir(d_full)
+                   if n.endswith(".txt"))
+    assert names == sorted(n for n in os.listdir(d_resumed)
+                           if n.endswith(".txt"))
+    for n in names:
+        with open(os.path.join(d_full, n), "rb") as f:
+            a = f.read()
+        with open(os.path.join(d_resumed, n), "rb") as f:
+            b = f.read()
+        assert a == b, f"stream file {n} differs after resume"
+
+
+def test_fresh_streamed_run_clears_stale_files(tmp_path):
+    """A new streaming run into a folder holding an older run's stream
+    files must not append to them."""
+    import jax
+
+    from tensorbnn_tpu.predictor import Predictor
+    from tensorbnn_tpu.sampler.driver import sample_posterior
+
+    lik = FixedGaussianLikelihood(sd=0.1)
+    folder = str(tmp_path / "run")
+
+    def go():
+        net = _make_net()
+        params, hypers = net.init_state()
+        key = jax.random.split(net.key)[1]
+        return sample_posterior(
+            net.model, lik, net.train_x, net.train_y, epochs=60,
+            config=net.config, params=params, hypers=hypers, key=key,
+            sampling_step=5, adjust_hypers=True, verbose=False,
+            keep_samples=False, folder_name=folder, networks_per_file=4)
+
+    go()
+    go()  # second run into the same folder
+    pred = Predictor(folder, likelihood=lik)
+    # 60 epochs, burnin 20, step 5 -> 8 networks, 2 complete files of 4
+    assert pred.n_networks == 8
