@@ -231,6 +231,17 @@ class Predictor:
         preds = self.predict(input_matrix, n, mesh=mesh)
         return preds.mean(axis=0), preds.std(axis=0)
 
+    def predict_quantiles(self, input_matrix, qs=(0.025, 0.5, 0.975),
+                          n: int = 1, mesh=None) -> np.ndarray:
+        """Posterior predictive quantiles over the ensemble.
+
+        Returns shape ``(len(qs), batch, out_dims)`` — e.g. the default
+        ``qs`` gives an equal-tailed 95% credible band plus the median
+        (what the reference's extended example assembles by hand from
+        per-network predictions, extendedRegression.py:174-223)."""
+        preds = self.predict(input_matrix, n, mesh=mesh)
+        return np.quantile(preds, np.asarray(qs), axis=0)
+
     # -- reweighting ---------------------------------------------------------------
 
     def _log_posterior_weights(self, layers: Sequence[LayerSpec],

@@ -136,6 +136,13 @@ def test_predictor_statistics_and_autocorr(small_run):
     tau = pred.autocorrelation_length(train_in[:, None], n_max=50)
     assert np.isfinite(tau) and tau >= 0
 
+    quants = pred.predict_quantiles(train_in[:, None])
+    preds = pred.predict(train_in[:, None])
+    assert quants.shape == (3,) + preds.shape[1:]
+    assert np.all(quants[0] <= quants[1]) and np.all(quants[1] <= quants[2])
+    np.testing.assert_allclose(quants[1], np.median(preds, axis=0),
+                               rtol=1e-6, atol=1e-7)
+
 
 def test_predictor_reweight(small_run):
     net, result, folder, train_in, _ = small_run
