@@ -102,6 +102,10 @@ def main():
     inside = np.mean(np.abs(true - mean[:, 0]) <= 2 * sd[:, 0])
     print(f"posterior band: {100 * inside:.1f}% of the true curve inside "
           f"mean +/- 2 sd")
+    lo, med, hi = pred.predict_quantiles(grid[:, None])
+    inside_q = np.mean((true >= lo[:, 0]) & (true <= hi[:, 0]))
+    print(f"95% credible band: {100 * inside_q:.1f}% of the true curve "
+          f"inside [2.5%, 97.5%] quantiles")
     rmse = float(np.sqrt(np.mean((mean[:, 0] - true) ** 2)))
     print(f"grid RMSE: {rmse:.4f}")
     print("Total time elapsed (seconds):", time.time() - start)
