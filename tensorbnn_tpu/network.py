@@ -54,6 +54,24 @@ class Network:
                  validate_x, validate_y, seed: int = 0):
         self.dtype = jnp.dtype(dtype) if dtype is not None else jnp.float32
         self.input_dims = input_dims
+        import numpy as _np
+        for name, arr in (("train_x", train_x), ("train_y", train_y),
+                          ("validate_x", validate_x),
+                          ("validate_y", validate_y)):
+            a = _np.asarray(arr, dtype=_np.float64)
+            if not _np.all(_np.isfinite(a)):
+                # a NaN/inf row would make every HMC proposal reject
+                # (NaN log-likelihood) with no error — fail loudly instead
+                raise ValueError(
+                    f"{name} contains non-finite values "
+                    f"({int((~_np.isfinite(a)).sum())} of {a.size})")
+        for name, arr in (("train_x", train_x), ("validate_x", validate_x)):
+            a = _np.asarray(arr)
+            if a.size != len(arr) * input_dims:
+                raise ValueError(
+                    f"{name} width does not match input_dims="
+                    f"{input_dims}: {a.size} values for {len(arr)} rows "
+                    f"(expected {len(arr) * input_dims})")
         self.train_x = jnp.asarray(train_x, self.dtype).reshape(
             len(train_x), input_dims)
         self.train_y = jnp.asarray(train_y, self.dtype)

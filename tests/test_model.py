@@ -164,3 +164,33 @@ def test_make_mlp_factory():
     params, hypers = m2.init(jax.random.key(0))
     out = m2.apply(params, jnp.zeros((3, 2)))
     assert out.shape == (3, 1)
+
+
+def test_network_rejects_nonfinite_data():
+    import jax.numpy as jnp
+    import pytest
+
+    from tensorbnn_tpu.network import Network
+
+    x = np.linspace(-1, 1, 5)
+    y = np.sin(x)
+    bad_y = y.copy()
+    bad_y[2] = np.nan
+    with pytest.raises(ValueError, match="non-finite"):
+        Network(jnp.float32, 1, x, bad_y, x, y)
+    bad_x = x.copy()
+    bad_x[0] = np.inf
+    with pytest.raises(ValueError, match="non-finite"):
+        Network(jnp.float32, 1, bad_x, y, x, y)
+
+
+def test_network_rejects_mismatched_input_dims():
+    import jax.numpy as jnp
+    import pytest
+
+    from tensorbnn_tpu.network import Network
+
+    x = np.zeros((6, 3), np.float32)   # width 3
+    y = np.zeros(6, np.float32)
+    with pytest.raises(ValueError, match="input_dims"):
+        Network(jnp.float32, 2, x, y, x, y)
