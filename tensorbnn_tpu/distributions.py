@@ -118,7 +118,11 @@ def categorical_logprob(probs, labels):
     """
     p = jnp.clip(jnp.asarray(probs), 1e-8, 1.0)
     labels = jnp.asarray(labels)
-    if labels.ndim == p.ndim:            # one-hot
+    # one-hot only when the trailing axis matches the class count — an
+    # (N, 1) column of class ids must NOT be broadcast as one-hot (it
+    # would yield label_id * sum(log p), a silent wrong posterior)
+    if labels.ndim == p.ndim and labels.shape[-1] == p.shape[-1]:
         return jnp.sum(labels * jnp.log(p), axis=-1)
+    labels = jnp.reshape(labels, p.shape[:-1])
     return jnp.log(jnp.take_along_axis(
         p, labels[..., None].astype(jnp.int32), axis=-1))[..., 0]

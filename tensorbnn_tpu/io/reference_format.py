@@ -150,10 +150,24 @@ class RunWriter:
             self._restore(resume_state)
         else:
             self._remove_stream_files(from_idx=0)
+            # a stale chains.txt/summary.txt from a previous run in this
+            # folder would be matched against THIS run's networks on load
+            for name in ("chains.txt", "summary.txt"):
+                p = os.path.join(path, name)
+                if os.path.exists(p):
+                    os.remove(p)
 
     # -- resume support ---------------------------------------------------------
 
     def state_dict(self) -> dict:
+        # durability: the checkpoint claims n_written networks exist on
+        # disk, so everything buffered must actually be there before the
+        # checkpoint lands (a crash right after a checkpoint is exactly
+        # the case resume exists for)
+        if self._files:
+            for f in self._files:
+                f.flush()
+                os.fsync(f.fileno())
         return {
             "n_written": self._n_written,
             "file_idx": self._file_idx,
@@ -203,12 +217,22 @@ class RunWriter:
         keep_rows.append(partial * (self._n_hyper_scalars or 0))
         for p, rows in zip(self._stream_paths(self._file_idx), keep_rows):
             if not os.path.exists(p):
+                if rows:
+                    raise ValueError(
+                        f"stream resume: {p} is missing but the "
+                        f"checkpoint records {rows} rows in it — the "
+                        f"stream directory does not match the checkpoint")
                 continue
             if rows == 0:
                 os.remove(p)
                 continue
             with open(p, "rb") as f:
                 lines = f.readlines()
+            if len(lines) < rows:
+                raise ValueError(
+                    f"stream resume: {p} holds {len(lines)} rows but the "
+                    f"checkpoint records {rows} — the stream files were "
+                    f"modified or written without the checkpoint's flush")
             with open(p, "wb") as f:
                 f.writelines(lines[:rows])
         self._open_files()

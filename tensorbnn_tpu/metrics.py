@@ -81,23 +81,25 @@ class Accuracy(Metric):
                 f"validation accuracy{self.validate: 9.5f}")
 
 
-class MulticlassAccuracy(Metric):
+class MulticlassAccuracy(Accuracy):
     """Argmax accuracy over probability rows (new beyond the reference,
     paired with CategoricalLikelihood; the reference's Accuracy is binary
     rounding, metrics.py:110-141). Real values may be class ids or
-    one-hot rows; unscaling options do not apply."""
+    one-hot rows; unscaling options do not apply. Shares Accuracy's
+    display format."""
 
     def calculate(self, preds_train, preds_validate, real_train,
                   real_validate):
         def acc(preds, real):
             pred_cls = jnp.argmax(preds, axis=-1)
             real = jnp.asarray(real)
-            if real.ndim == jnp.ndim(preds):
+            # one-hot only when the trailing axis matches the class
+            # count; an (N, 1) column of ids flattens to ids
+            if real.ndim == jnp.ndim(preds) and \
+                    real.shape[-1] == jnp.shape(preds)[-1]:
                 real = jnp.argmax(real, axis=-1)
+            else:
+                real = jnp.reshape(real, pred_cls.shape)
             return float(jnp.mean(pred_cls == real.astype(pred_cls.dtype)))
         self.train = acc(preds_train, real_train)
         self.validate = acc(preds_validate, real_validate)
-
-    def display(self):
-        return (f"training accuracy{self.train: 9.5f} "
-                f"validation accuracy{self.validate: 9.5f}")

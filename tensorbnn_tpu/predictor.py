@@ -231,14 +231,16 @@ class Predictor:
         preds = self.predict(input_matrix, n, mesh=mesh)
         return preds.mean(axis=0), preds.std(axis=0)
 
-    def predict_quantiles(self, input_matrix, qs=(0.025, 0.5, 0.975),
-                          n: int = 1, mesh=None) -> np.ndarray:
+    def predict_quantiles(self, input_matrix, n: int = 1, mesh=None, *,
+                          qs=(0.025, 0.5, 0.975)) -> np.ndarray:
         """Posterior predictive quantiles over the ensemble.
 
-        Returns shape ``(len(qs), batch, out_dims)`` — e.g. the default
-        ``qs`` gives an equal-tailed 95% credible band plus the median
-        (what the reference's extended example assembles by hand from
-        per-network predictions, extendedRegression.py:174-223)."""
+        Positional arguments mirror ``predict``/``predict_mean_sd``
+        (``input_matrix, n, mesh``); ``qs`` is keyword-only. Returns
+        shape ``(len(qs), batch, out_dims)`` — the default gives an
+        equal-tailed 95% credible band plus the median (what the
+        reference's extended example assembles by hand from per-network
+        predictions, extendedRegression.py:174-223)."""
         preds = self.predict(input_matrix, n, mesh=mesh)
         return np.quantile(preds, np.asarray(qs), axis=0)
 

@@ -108,3 +108,26 @@ def test_three_class_sampling_end_to_end(use_fused):
     mean_pred = np.asarray(preds).mean(axis=0)
     acc = float((mean_pred.argmax(axis=1) == y.astype(int)).mean())
     assert acc > 0.9, acc
+
+
+def test_categorical_logprob_column_ids():
+    """(N, 1)-shaped integer class ids (a common dataframe export shape)
+    must be treated as ids, not broadcast as one-hot."""
+    rng = np.random.default_rng(4)
+    logits = rng.normal(size=(5, 3))
+    p = np.exp(logits) / np.exp(logits).sum(axis=1, keepdims=True)
+    ids = rng.integers(0, 3, size=5)
+
+    flat = np.asarray(categorical_logprob(p, ids))
+    col = np.asarray(categorical_logprob(p, ids[:, None]))
+    np.testing.assert_allclose(col, flat, rtol=1e-6)
+
+
+def test_multiclass_accuracy_column_ids():
+    preds = jnp.asarray([[0.7, 0.2, 0.1],
+                         [0.1, 0.8, 0.1],
+                         [0.3, 0.3, 0.4]])
+    ids = np.asarray([0.0, 1.0, 0.0])
+    m = MulticlassAccuracy()
+    m.calculate(preds, preds, ids[:, None], ids[:, None])
+    np.testing.assert_allclose(m.train, 2 / 3, rtol=1e-6)

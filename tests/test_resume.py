@@ -197,3 +197,31 @@ def test_fresh_streamed_run_clears_stale_files(tmp_path):
     pred = Predictor(folder, likelihood=lik)
     # 60 epochs, burnin 20, step 5 -> 8 networks, 2 complete files of 4
     assert pred.n_networks == 8
+
+
+def test_writer_state_dict_flushes_to_disk(tmp_path):
+    """Checkpointing the writer must leave every claimed network durably
+    on disk (a crash right after a checkpoint is the resume scenario)."""
+    import os
+
+    import jax
+
+    from tensorbnn_tpu.io.reference_format import RunWriter
+    from tensorbnn_tpu import FixedGaussianLikelihood, GaussianDenseLayer
+    from tensorbnn_tpu.models.sequential import Sequential
+
+    model = Sequential([GaussianDenseLayer(1, 3)])
+    params, hypers = model.init(jax.random.key(0))
+    d = str(tmp_path / "w")
+    w = RunWriter(d, model, FixedGaussianLikelihood(sd=0.1),
+                  networks_per_file=10)
+    for _ in range(4):
+        w.append(params, hypers, {})
+    state = w.state_dict()
+    assert state["n_written"] == 4
+    # the stream file must hold all 4 networks' rows right now — not in
+    # a Python buffer
+    with open(os.path.join(d, "0.0.txt"), "rb") as f:
+        n_lines = len(f.readlines())
+    rows_per_net = state["shapes"][0][0]
+    assert n_lines == 4 * rows_per_net
