@@ -86,6 +86,34 @@ def save_resume(path: str, *, carry_arrays: Dict[str, np.ndarray],
         json.dump(host_state, f)
 
 
+def save_sample_segment(path: str, idx: int, theta: np.ndarray,
+                        eta: np.ndarray) -> str:
+    """Persists one incremental sample segment (``(S_new, C, D)`` stacks).
+
+    Checkpoint cost stays O(samples since the last checkpoint) instead of
+    re-writing the whole accumulated history every time: the driver writes
+    a new segment per checkpoint and records the segment count in the
+    resume host state. Segments are written *before* resume.json, so a
+    crash between the two leaves an unreferenced trailing segment that the
+    next checkpoint simply overwrites.
+    """
+    os.makedirs(path, exist_ok=True)
+    fname = os.path.join(path, f"resume_seg{idx}.npz")
+    np.savez(fname, theta=theta, eta=eta)
+    return fname
+
+
+def load_sample_segments(path: str, n_segments: int):
+    """Concatenates the first ``n_segments`` segments back into per-epoch
+    sample row lists (``[(C, D), ...]``, the driver's in-memory form)."""
+    thetas, etas = [], []
+    for i in range(n_segments):
+        with np.load(os.path.join(path, f"resume_seg{i}.npz")) as data:
+            thetas.extend(np.asarray(data["theta"]))
+            etas.extend(np.asarray(data["eta"]))
+    return thetas, etas
+
+
 def load_resume(path: str) -> Optional[Tuple[Dict[str, np.ndarray], dict]]:
     """Returns ``(carry_arrays, host_state)`` or None if absent."""
     npz = os.path.join(path, "resume.npz")

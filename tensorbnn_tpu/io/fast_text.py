@@ -28,7 +28,8 @@ _tried = False
 def _build() -> bool:
     try:
         subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", _SRC, "-o", _SO],
+            ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", _SRC,
+             "-o", _SO],
             check=True, capture_output=True, timeout=120)
         return True
     except (OSError, subprocess.SubprocessError):
@@ -58,6 +59,14 @@ def _load() -> Optional[ctypes.CDLL]:
         ]
         lib.tbnn_count_floats.restype = ctypes.c_long
         lib.tbnn_count_floats.argtypes = [ctypes.c_char_p]
+        lib.tbnn_format_floats.restype = ctypes.c_long
+        lib.tbnn_format_floats.argtypes = [
+            np.ctypeslib.ndpointer(dtype=np.float64, flags="C_CONTIGUOUS"),
+            ctypes.c_long,
+            ctypes.c_long,
+            ctypes.c_char_p,
+            ctypes.c_long,
+        ]
         _lib = lib
         return _lib
 
@@ -90,3 +99,29 @@ def load_floats(path: str, dtype=np.float32) -> np.ndarray:
     if n < 0:
         raise IOError(f"native parser failed on {path} (code {n})")
     return out[:n].astype(dtype)
+
+
+def format_floats(arr: np.ndarray) -> Optional[bytes]:
+    """Formats an array exactly like ``np.savetxt``'s default ``%.18e``
+    (1-D arrays one value per line, 2-D arrays one row per line), using
+    the native formatter. Returns None when the native library is
+    unavailable — callers fall back to np.savetxt.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    a = np.ascontiguousarray(np.atleast_1d(np.asarray(arr)), np.float64)
+    if a.ndim == 1:
+        a = a[:, None]
+    elif a.ndim > 2:
+        a = a.reshape(a.shape[0], -1)
+    n = a.size
+    cols = a.shape[1] if n else 1
+    # each "%.18e" value is <= 25 chars (sign + 1.18 digits + e+XXX for
+    # 3-digit exponents) plus a separator
+    cap = 32 * n + 16
+    buf = ctypes.create_string_buffer(cap)
+    wrote = lib.tbnn_format_floats(a.reshape(-1), n, cols, buf, cap)
+    if wrote < 0:
+        return None
+    return buf.raw[:wrote]

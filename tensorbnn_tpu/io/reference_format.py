@@ -39,6 +39,19 @@ from tensorbnn_tpu.likelihoods import Likelihood
 from tensorbnn_tpu.models.sequential import Sequential
 
 
+def _write_floats(f, arr) -> None:
+    """Appends ``arr`` to the open binary file in np.savetxt's exact text
+    format, through the native formatter when available (the pure-Python
+    per-value ``%.18e`` path dominates streamed-run host time at wide
+    chain counts — benchmarks/PERF_NOTES.md round 3)."""
+    arr = np.atleast_1d(np.asarray(arr))
+    data = fast_text.format_floats(arr)
+    if data is None:
+        np.savetxt(f, arr)
+    else:
+        f.write(data)
+
+
 def ref_state_tensors(model: Sequential, params: tuple) -> List[np.ndarray]:
     """Ordered reference-layout state tensors (leading axis = samples ok)."""
     out = []
@@ -93,7 +106,7 @@ def save_run(path: str, model: Sequential, likelihood: Likelihood,
             sl = tensor[m * networks_per_file:(m + 1) * networks_per_file]
             with open(os.path.join(path, f"{n}.{m}.txt"), "wb") as f:
                 for net in sl:
-                    np.savetxt(f, np.atleast_1d(net))
+                    _write_floats(f, net)
 
     n_hyper_scalars = hyper_mat.shape[-1] if hyper_mat.ndim else 0
     if n_hyper_scalars:
@@ -101,7 +114,7 @@ def save_run(path: str, model: Sequential, likelihood: Likelihood,
             sl = hyper_mat[m * networks_per_file:(m + 1) * networks_per_file]
             with open(os.path.join(path, f"hypers{m}.txt"), "wb") as f:
                 for net in sl:
-                    np.savetxt(f, net)
+                    _write_floats(f, net)
 
     with open(os.path.join(path, "summary.txt"), "w") as f:
         for tensor in tensors:
@@ -204,8 +217,16 @@ class RunWriter:
         self._chain_ids = [int(c) for c in state["chain_ids"]]
         self._n_hyper_scalars = state["n_hyper_scalars"]
         if self._n_hyper_scalars is None:
-            # checkpoint taken before the first network was streamed
+            # checkpoint taken before the first network was streamed: the
+            # crashed run may still have rotated files and written a
+            # summary/chains pair past the checkpoint — mirror the
+            # fresh-start branch so load_run never sees a summary whose
+            # files were just deleted
             self._remove_stream_files(from_idx=0)
+            for name in ("chains.txt", "summary.txt"):
+                p = os.path.join(self.path, name)
+                if os.path.exists(p):
+                    os.remove(p)
             return
         self._shapes = [tuple(s) for s in state["shapes"]]
         # drop any files past the checkpointed rotation, then truncate the
@@ -226,15 +247,24 @@ class RunWriter:
             if rows == 0:
                 os.remove(p)
                 continue
+            # truncate at the byte offset of row `rows`, streaming line by
+            # line — buffering the whole file (hundreds of MB of text for
+            # wide tensors) just to drop its tail would hold it all in
+            # host memory during resume
+            offset = 0
+            found = 0
             with open(p, "rb") as f:
-                lines = f.readlines()
-            if len(lines) < rows:
+                for line in f:
+                    found += 1
+                    offset += len(line)
+                    if found == rows:
+                        break
+            if found < rows:
                 raise ValueError(
-                    f"stream resume: {p} holds {len(lines)} rows but the "
+                    f"stream resume: {p} holds {found} rows but the "
                     f"checkpoint records {rows} — the stream files were "
                     f"modified or written without the checkpoint's flush")
-            with open(p, "wb") as f:
-                f.writelines(lines[:rows])
+            os.truncate(p, offset)
         self._open_files()
         self._write_summary()
 
@@ -262,9 +292,10 @@ class RunWriter:
             self._open_files()
 
         for f, t in zip(self._files, tensors):
-            np.savetxt(f, np.atleast_1d(np.asarray(t)))
+            _write_floats(f, t)
         if self._n_hyper_scalars:
-            np.savetxt(self._files[-1], np.asarray(hyper_vec).reshape(-1))
+            _write_floats(self._files[-1],
+                          np.asarray(hyper_vec).reshape(-1))
         self._n_written += 1
 
         if self._n_written % self.per_file == 0:

@@ -52,7 +52,16 @@ class SquaredError(Metric):
 
 
 class PercentError(Metric):
-    """Mean absolute percent error (reference metrics.py:70-108)."""
+    """Mean absolute percent error (reference metrics.py:70-108).
+
+    Kept quirk (SURVEY.md #2.3-style decision): the reference divides by
+    the (un-normalized) target values with no guard, so any target equal
+    to 0 makes the whole mean inf/NaN (reference metrics.py:83-86,
+    100-103). Replicated as-is — percent error is only meaningful on
+    targets bounded away from zero, and silently substituting a guard
+    would change reported numbers vs the reference. Use
+    :class:`SquaredError` for data with zero-crossing targets.
+    """
 
     def calculate(self, preds_train, preds_validate, real_train,
                   real_validate):

@@ -54,17 +54,31 @@ class Network:
                  validate_x, validate_y, seed: int = 0):
         self.dtype = jnp.dtype(dtype) if dtype is not None else jnp.float32
         self.input_dims = input_dims
+        import jax as _jax
         import numpy as _np
         for name, arr in (("train_x", train_x), ("train_y", train_y),
                           ("validate_x", validate_x),
                           ("validate_y", validate_y)):
-            a = _np.asarray(arr, dtype=_np.float64)
-            if not _np.all(_np.isfinite(a)):
-                # a NaN/inf row would make every HMC proposal reject
-                # (NaN log-likelihood) with no error — fail loudly instead
+            # a NaN/inf row would make every HMC proposal reject (NaN
+            # log-likelihood) with no error — fail loudly instead. The
+            # check stays in the array's own dtype and place: device
+            # arrays are validated device-side (one scalar fetch, no
+            # tunnel transfer of the data), host arrays with np.isfinite
+            # on the original dtype (no float64 copy — the 1M-point
+            # surrogate would pay ~100MB of transient host allocation)
+            if isinstance(arr, _jax.Array):
+                bad = int(jnp.sum(~jnp.isfinite(arr)))
+                size = arr.size
+            else:
+                a = _np.asarray(arr)
+                if a.dtype.kind not in "fc":
+                    continue  # integer/bool data is always finite
+                bad = int((~_np.isfinite(a)).sum())
+                size = a.size
+            if bad:
                 raise ValueError(
                     f"{name} contains non-finite values "
-                    f"({int((~_np.isfinite(a)).sum())} of {a.size})")
+                    f"({bad} of {size})")
         for name, arr in (("train_x", train_x), ("validate_x", validate_x)):
             a = _np.asarray(arr)
             if a.size != len(arr) * input_dims:

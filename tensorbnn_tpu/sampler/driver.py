@@ -139,10 +139,15 @@ class RunResult:
         from tensorbnn_tpu.utils.diagnostics import split_rhat
         return split_rhat(self.theta_samples)
 
-    def multichain_ess(self) -> float:
-        """Pooled cross-chain ESS of the parameter traces."""
+    def multichain_ess(self, max_params: int = 256):
+        """Per-parameter pooled cross-chain ESS of the parameter traces.
+
+        Returns a :class:`~tensorbnn_tpu.utils.diagnostics.PooledEss` —
+        a float equal to the worst (minimum) coordinate's pooled ESS,
+        carrying ``per_param``/``median``/``argmin`` for the breakdown.
+        """
         from tensorbnn_tpu.utils.diagnostics import multichain_ess
-        return multichain_ess(self.theta_samples)
+        return multichain_ess(self.theta_samples, max_params=max_params)
 
     @property
     def eta_pooled(self) -> np.ndarray:
@@ -344,6 +349,11 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
     writer = None
 
     iter_ = 0  # completed epochs, reference 1-based bookkeeping
+    # incremental checkpointing: samples already persisted in
+    # resume_seg{i}.npz files (so each checkpoint writes O(new) bytes,
+    # not the whole accumulated history)
+    n_segments = 0
+    samples_checkpointed = 0
 
     # identifies the run a checkpoint belongs to: resuming with a different
     # config/model/chain-count would silently produce a wrong trajectory,
@@ -396,10 +406,17 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
         step_sizes = np.atleast_1d(
             np.asarray(host["step_size"], np.float64))
         leapfrogs = np.atleast_1d(np.asarray(host["leapfrog"], np.int64))
-        theta_samples = [a for a in arrays.get(
-            "theta_samples", np.zeros((0, 1, 1)))]
-        eta_samples = [a for a in arrays.get(
-            "eta_samples", np.zeros((0, 1, 1)))]
+        n_segments = int(host.get("n_segments", 0))
+        if n_segments:
+            theta_samples, eta_samples = checkpoint.load_sample_segments(
+                checkpoint_dir, n_segments)
+        else:
+            # legacy checkpoints carried the whole history in resume.npz
+            theta_samples = [a for a in arrays.get(
+                "theta_samples", np.zeros((0, 1, 1)))]
+            eta_samples = [a for a in arrays.get(
+                "eta_samples", np.zeros((0, 1, 1)))]
+        samples_checkpointed = len(theta_samples)
         if streaming:
             writer = reference_format.RunWriter(
                 folder_name, model, likelihood, networks_per_file,
@@ -418,6 +435,7 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
                   f"Predictor reorders to chain-major on load)")
 
     def _save_checkpoint():
+        nonlocal n_segments, samples_checkpointed
         arrays = {
             "theta": np.asarray(carry.theta),
             "eta": np.asarray(carry.eta),
@@ -427,13 +445,22 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
             "h": np.asarray(carry.h),
             "epoch": np.asarray(carry.epoch),
         }
-        if theta_samples:
-            arrays["theta_samples"] = np.stack(theta_samples)
-            arrays["eta_samples"] = np.stack(eta_samples)
+        # only samples accumulated since the last checkpoint go to disk
+        # (segment is written before resume.json references it, so a
+        # crash in between leaves an ignored trailing file, not a
+        # truncated history)
+        if len(theta_samples) > samples_checkpointed:
+            checkpoint.save_sample_segment(
+                checkpoint_dir, n_segments,
+                np.stack(theta_samples[samples_checkpointed:]),
+                np.stack(eta_samples[samples_checkpointed:]))
+            n_segments += 1
+            samples_checkpointed = len(theta_samples)
         checkpoint.save_resume(
             checkpoint_dir,
             carry_arrays=arrays,
             host_state={
+                "n_segments": n_segments,
                 "adapter": (adapters[0].state_dict() if n_grp == 1
                             else [a.state_dict() for a in adapters]),
                 "iter": iter_,
@@ -463,7 +490,10 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
 
         sjd = np.asarray(trace.sjd)            # (chunk, C)
         if tracer is not None:
-            tracer.end_chunk(chunk, int(leapfrogs.max()), n_chains)
+            # executed kicks per chain: in grouped mode each chain runs its
+            # group's L (mask-frozen while the straggler group finishes), so
+            # the chunk's work is the group-size-weighted mean L, not max L
+            tracer.end_chunk(chunk, float(leapfrogs.mean()), n_chains)
         m_acc = np.asarray(trace.main_accept)  # (chunk, C)
         h_acc = np.asarray(trace.hyper_accept)
         sjd_mean = sjd.mean(axis=1)

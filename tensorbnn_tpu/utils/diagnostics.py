@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from tensorbnn_tpu.utils.autocorr import integrated_time
+from tensorbnn_tpu.utils.autocorr import integrated_time_batch
 
 
 def split_rhat(samples: np.ndarray) -> np.ndarray:
@@ -38,16 +38,72 @@ def split_rhat(samples: np.ndarray) -> np.ndarray:
         return np.sqrt(var_plus / w)
 
 
-def multichain_ess(samples: np.ndarray) -> float:
-    """Crude pooled ESS: sum over chains of n/tau on the flattened series."""
+class PooledEss(float):
+    """Minimum per-parameter pooled ESS, with the full breakdown attached.
+
+    Behaves as a plain float equal to the *slowest-mixing* coordinate's
+    pooled ESS (the conservative convergence summary: a run has only as
+    many effective samples as its worst parameter). Extra attributes:
+
+    - ``per_param``: (K,) pooled-over-chains ESS per examined coordinate
+      (NaN where no chain produced a finite tau, e.g. constant traces)
+    - ``param_index``: (K,) original flat-coordinate ids examined
+    - ``min`` / ``median`` / ``max``: summaries over finite coordinates
+    - ``argmin``: original coordinate id of the minimum
+    """
+
+    def __new__(cls, per_param: np.ndarray, param_index: np.ndarray):
+        per_param = np.asarray(per_param, np.float64)
+        param_index = np.asarray(param_index)
+        finite = np.isfinite(per_param)
+        val = float(per_param[finite].min()) if finite.any() else 0.0
+        obj = super().__new__(cls, val)
+        obj.per_param = per_param
+        obj.param_index = param_index
+        obj.min = val
+        obj.median = (float(np.median(per_param[finite]))
+                      if finite.any() else 0.0)
+        obj.max = (float(per_param[finite].max()) if finite.any() else 0.0)
+        obj.argmin = (int(param_index[np.nanargmin(
+            np.where(finite, per_param, np.inf))]) if finite.any() else -1)
+        return obj
+
+    def __repr__(self):
+        return (f"PooledEss(min={self.min:.1f} @ param {self.argmin}, "
+                f"median={self.median:.1f}, max={self.max:.1f}, "
+                f"{self.per_param.size} coords)")
+
+
+def multichain_ess(samples: np.ndarray,
+                   max_params: int = 256) -> PooledEss:
+    """Per-parameter pooled ESS over a (draws, chains, ...) sample stack.
+
+    For every examined flat coordinate d, sums n/tau over chains (tau from
+    the batched Sokal estimator, chains with non-finite tau skipped, tau
+    floored at 1). When the state has more than ``max_params`` coordinates
+    an evenly-strided subsample is examined — the full (C*D, n) FFT batch
+    at e.g. 512 chains x 600k params would dominate the run it diagnoses.
+
+    Returns a :class:`PooledEss`: a float equal to the minimum (worst
+    coordinate) with min/median/max and the per-coordinate array attached.
+    The scalar used to be the pooled ESS of coordinate 0 only, blind to
+    every other dimension; min over coordinates is strictly more honest.
+    """
     samples = np.asarray(samples, np.float64)
     n, c = samples.shape[:2]
     flat = samples.reshape(n, c, -1)
-    total = 0.0
-    for ci in range(c):
-        series = flat[:, ci, 0]
-        tau = integrated_time(series, quiet=True)
-        if np.isnan(tau) or tau <= 0:
-            continue
-        total += n / max(tau, 1.0)
-    return total
+    d = flat.shape[2]
+    if d > max_params:
+        idx = np.unique(np.linspace(0, d - 1, max_params).astype(np.intp))
+    else:
+        idx = np.arange(d, dtype=np.intp)
+    sub = flat[:, :, idx]                            # (n, c, k)
+    k = sub.shape[2]
+    rows = np.ascontiguousarray(
+        sub.transpose(1, 2, 0).reshape(c * k, n))    # chain-major rows
+    taus = integrated_time_batch(rows).reshape(c, k)
+    ok = np.isfinite(taus) & (taus > 0)
+    ess_ck = np.where(ok, n / np.maximum(taus, 1.0), 0.0)
+    per_param = ess_ck.sum(axis=0)                   # pooled over chains
+    per_param = np.where(ok.any(axis=0), per_param, np.nan)
+    return PooledEss(per_param, idx)

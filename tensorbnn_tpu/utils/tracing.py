@@ -20,7 +20,10 @@ import numpy as np
 @dataclasses.dataclass
 class ChunkRecord:
     epochs: int
-    leapfrog: int
+    #: executed leapfrog kicks per chain per epoch — in grouped-adaptation
+    #: runs this is the group-size-weighted mean L (mask-frozen chains do
+    #: not kick while the straggler group finishes), so it may be non-int
+    leapfrog: float
     n_chains: int
     seconds: float
 
@@ -35,7 +38,7 @@ class RunTracer:
     def start_chunk(self):
         self._t0 = time.perf_counter()
 
-    def end_chunk(self, epochs: int, leapfrog: int, n_chains: int):
+    def end_chunk(self, epochs: int, leapfrog: float, n_chains: int):
         if self._t0 is None:
             return
         self.chunks.append(ChunkRecord(
@@ -48,8 +51,11 @@ class RunTracer:
 
     @property
     def total_leapfrog_steps(self) -> int:
-        """Main-chain leapfrog position updates across all chains."""
-        return sum(c.epochs * c.leapfrog * c.n_chains for c in self.chunks)
+        """Main-chain leapfrog position updates *executed* across all
+        chains (grouped-adaptation chunks count each chain at its own
+        group's L, not the straggler group's max)."""
+        return int(round(sum(c.epochs * c.leapfrog * c.n_chains
+                             for c in self.chunks)))
 
     @property
     def leapfrog_steps_per_sec(self) -> float:

@@ -68,6 +68,54 @@ def test_multichain_ess_pools():
     assert ess > 1500  # ~4000 iid draws, windowing loses some
 
 
+def test_multichain_ess_catches_slow_coordinate():
+    """Coordinate 0 mixes fast (IID) while coordinate 1 is a strongly
+    autocorrelated AR(1): the per-parameter min must be dragged down by
+    the slow coordinate (the old single-coordinate estimator looked only
+    at coordinate 0 and would report the fast figure)."""
+    rng = np.random.default_rng(6)
+    n, c = 2000, 4
+    fast = rng.normal(size=(n, c))
+    rho = 0.95                      # tau ~ (1+rho)/(1-rho) = 39
+    eps = rng.normal(size=(n, c))
+    slow = np.empty((n, c))
+    slow[0] = eps[0]
+    for t in range(1, n):
+        slow[t] = rho * slow[t - 1] + eps[t]
+    samples = np.stack([fast, slow], axis=-1)   # (n, c, 2)
+
+    ess = multichain_ess(samples)
+    per = ess.per_param
+    assert per.shape == (2,)
+    assert per[0] > 4000                        # ~8000 iid pooled draws
+    assert per[1] < per[0] / 5                  # slow coord far below
+    assert float(ess) == per.min()              # scalar = worst coordinate
+    assert ess.argmin == 1
+    assert ess.median >= float(ess)
+
+
+def test_multichain_ess_subsamples_wide_states():
+    """States wider than max_params are examined on an evenly-strided
+    subsample that always includes the first and last coordinate."""
+    rng = np.random.default_rng(7)
+    samples = rng.normal(size=(300, 2, 1000))
+    ess = multichain_ess(samples, max_params=64)
+    assert ess.per_param.shape[0] <= 64
+    assert ess.param_index[0] == 0 and ess.param_index[-1] == 999
+    assert float(ess) > 0
+
+
+def test_multichain_ess_constant_coordinate_is_nan_not_min():
+    """A constant coordinate (tau NaN in every chain) must not report 0
+    effective samples as the minimum — it is excluded as NaN."""
+    rng = np.random.default_rng(8)
+    samples = rng.normal(size=(500, 3, 2))
+    samples[:, :, 1] = 7.0
+    ess = multichain_ess(samples)
+    assert np.isnan(ess.per_param[1])
+    assert float(ess) > 100                     # min comes from coord 0
+
+
 def test_run_tracer_counts():
     t = RunTracer()
     t.start_chunk()
@@ -78,6 +126,16 @@ def test_run_tracer_counts():
     s = t.summary()
     assert s["chunks"] == 2 and s["epochs"] == 15
     assert s["leapfrog_steps_per_sec"] > 0
+
+
+def test_run_tracer_grouped_mean_leapfrog():
+    """Grouped-adaptation chunks record the mean executed L per chain
+    (mask-frozen chains do not kick), not the straggler group's max."""
+    t = RunTracer()
+    t.start_chunk()
+    # 2 groups of 32 chains at L=100 and L=50 -> mean executed L = 75
+    t.end_chunk(epochs=10, leapfrog=75.0, n_chains=64)
+    assert t.total_leapfrog_steps == 10 * 75 * 64
 
 
 def test_integrated_time_batch_matches_scalar():

@@ -54,3 +54,41 @@ def _timed(fn, *args):
     t0 = time.perf_counter()
     fn(*args)
     return time.perf_counter() - t0
+
+
+def test_format_floats_matches_savetxt_bytes():
+    """The native formatter is byte-identical to np.savetxt's default
+    %.18e format (1-D one value/line, 2-D one row/line), including
+    inf/nan/subnormals — streamed and buffered runs must stay
+    byte-comparable whichever path wrote them."""
+    import io
+
+    rng = np.random.default_rng(0)
+    cases = [
+        rng.normal(size=(7, 3)) * (10.0 ** rng.integers(
+            -200, 200, size=(7, 3))),
+        rng.normal(size=13),
+        np.array([[0.0, -0.0], [np.inf, -np.inf]]),
+        np.array([np.nan, 1e-310]),
+        rng.normal(size=(4, 5)).astype(np.float32),
+        np.array(3.5),
+    ]
+    for i, a in enumerate(cases):
+        got = fast_text.format_floats(a)
+        if got is None:  # no compiler in env: fallback path covers it
+            return
+        buf = io.BytesIO()
+        np.savetxt(buf, np.atleast_1d(a))
+        assert got == buf.getvalue(), f"case {i}"
+
+
+def test_format_floats_roundtrips_through_parser(tmp_path):
+    rng = np.random.default_rng(1)
+    a = rng.normal(size=(20, 4))
+    data = fast_text.format_floats(a)
+    if data is None:
+        return
+    p = tmp_path / "x.txt"
+    p.write_bytes(data)
+    back = fast_text.load_floats(str(p), dtype=np.float64)
+    np.testing.assert_allclose(back.reshape(20, 4), a, rtol=0, atol=0)

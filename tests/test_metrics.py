@@ -92,3 +92,15 @@ def test_accuracy_unscaling_path():
     pt_u = pt[:, 0] * 0.25 + 0.5
     want = 1.0 - np.mean(np.abs(rt_u - np.round(pt_u)))
     np.testing.assert_allclose(m.train, want, rtol=1e-6)
+
+
+def test_percent_error_zero_target_is_nonfinite_kept_quirk():
+    """Kept reference quirk (metrics.py:83-86): a target value of 0 makes
+    the percent error non-finite — the division is unguarded, matching the
+    reference's reported numbers exactly (documented in PercentError)."""
+    pt = np.array([[1.0], [2.0]], np.float32)
+    rt = np.array([0.0, 2.0], np.float32)        # one zero target
+    m = PercentError()
+    m.calculate(jnp.asarray(pt), jnp.asarray(pt),
+                jnp.asarray(rt), jnp.asarray(rt))
+    assert not np.isfinite(m.train)

@@ -194,3 +194,24 @@ def test_network_rejects_mismatched_input_dims():
     y = np.zeros(6, np.float32)
     with pytest.raises(ValueError, match="input_dims"):
         Network(jnp.float32, 2, x, y, x, y)
+
+
+def test_network_validates_device_arrays_without_transfer():
+    """Finiteness validation accepts device-resident jnp arrays (checked
+    device-side) and rejects non-finite ones; integer data is skipped."""
+    import jax.numpy as jnp
+    import numpy as np
+    import pytest
+
+    from tensorbnn_tpu.network import Network
+
+    x = jnp.linspace(-1, 1, 8).reshape(8, 1)
+    y = jnp.sin(x[:, 0])
+    Network(jnp.float32, 1, x, y, x, y)        # device arrays OK
+
+    bad = y.at[3].set(jnp.nan)
+    with pytest.raises(ValueError, match="non-finite"):
+        Network(jnp.float32, 1, x, bad, x, y)
+
+    xi = np.arange(8, dtype=np.int64).reshape(8, 1)
+    Network(jnp.float32, 1, xi, np.arange(8.0), xi, np.arange(8.0))
