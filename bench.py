@@ -1,7 +1,20 @@
-"""Headline benchmark: main-chain leapfrog steps/sec/chip.
+"""Headline benchmark: main-chain leapfrog steps/sec/chip, plus the
+north-star quality block (ESS/sec at a calibrated acceptance).
 
 Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N,
+   "quality": {"ess_per_sec": ..., "total_ess": ..., "min_param_ess": ...,
+               "accept_post_burnin": ...}}
+
+The BASELINE north star is throughput *at equal ESS* with calibrated
+acceptance (BASELINE.md:21-24) — raw steps/sec at near-1.0 acceptance is
+a throughput probe, not a sampler. The ``quality`` block therefore runs
+the flagship config through the full adaptive driver (GP-UCB + dual
+averaging) at the measured best configuration — 512 vmapped chains in 8
+adapter groups (benchmarks/PERF_NOTES.md) — and reports pooled ESS/sec of
+a predictive summary, the *worst-coordinate* pooled parameter ESS, and the
+post-burn-in acceptance, so the driver-captured artifact itself carries
+the quality-adjusted evidence.
 
 Configuration: the reference's bundled regression example (SURVEY.md #6 —
 the operative baseline config), i.e. a 3x10 tanh MLP over the 11-point trig
@@ -125,6 +138,18 @@ def main():
     log(f"baseline emulation: {base_steps} steps in {dt_b:.3f}s -> "
         f"{base_rate:,.0f} steps/sec (single chain, per-epoch dispatch)")
 
+    # -- north-star quality block: adaptive driver at the measured best
+    #    config (512 chains / 8 adapter groups), ESS/sec + acceptance -------
+    import os
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "benchmarks"))
+    from run_benchmarks import ess_run
+    q = ess_run(n_chains=512, n_adapters=8)
+    log(f"quality: {q['total_ess']} effective samples "
+        f"({q['ess_per_sec']}/sec) in {q['wall_seconds']}s, "
+        f"accept {q['accept_post_burnin']}, "
+        f"min-param ESS {q['min_param_ess']}")
+
     print(json.dumps({
         "metric": "main-chain leapfrog steps/sec/chip (3x10-tanh MLP, "
                   "two-block sampler, 64 vmapped chains vs single-chain "
@@ -132,6 +157,7 @@ def main():
         "value": round(ours_rate, 1),
         "unit": "leapfrog steps/sec",
         "vs_baseline": round(ours_rate / base_rate, 2),
+        "quality": q,
     }))
 
 

@@ -144,42 +144,73 @@ def bench_wide_deep():
     }))
 
 
-def bench_wide_deep_bf16():
-    """bf16 re-measure at batch 1024 (round-1 PERF_NOTES gap 2): at batch
-    128 the run is not matmul-bound and bf16 was neutral; a larger batch
-    puts more of the step into the MXU where bf16 doubles throughput."""
+def bench_wide_deep_bf16(batches=(128, 1024, 4096)):
+    """Wide-deep efficiency diagnosis (VERDICT round-2 #4): batch x dtype
+    sweep on the 10x256 config.
+
+    Two quantities explain the "28% of f32 peak" observation: (a) the
+    leapfrog *state* traffic — theta/momentum/gradient are (64, 592k) f32
+    = 151MB each, and every leapfrog step must stream several passes of
+    them regardless of batch size (a fixed per-step cost the batch
+    amortizes); (b) the activation/cast traffic of the round-2 bf16 path,
+    which cast every plane back to f32 per matmul. Fitting
+    t_iter = a + b*batch across the sweep separates the fixed state cost
+    ``a`` from the per-row matmul cost ``b``; bf16 end-to-end activations
+    (round-3 _DenseCompute) should now cut ``b`` roughly in half at
+    MXU-bound batch sizes.
+    """
     from tensorbnn_tpu import GaussianDenseLayer, Tanh
     from tensorbnn_tpu.models.sequential import Sequential
 
-    width, depth, batch, n_chains = 256, 10, 1024, 64
+    width, depth, n_chains = 256, 10, 64
     rng = np.random.default_rng(0)
-    x = rng.normal(size=(batch, width)).astype(np.float32)
-    y = rng.normal(size=(batch, 1)).astype(np.float32)
-
     results = {}
-    for cd in (None, "bfloat16"):
-        layers = []
-        for i in range(depth - 1):
-            layers += [GaussianDenseLayer(width, width, compute_dtype=cd),
-                       Tanh()]
-        layers += [GaussianDenseLayer(width, 1, compute_dtype=cd)]
-        model = Sequential(layers)
-        steps, dt, acc, n_params = _bench_sampler(
-            model, x, y, n_chains=n_chains, leapfrog=20,
-            hyper_leapfrog=5, chunk=5, n_chunks=3, step_size=1e-5,
-            state_layout="tree")
-        results[cd or "float32"] = steps / dt
-        log(f"wide_deep batch={batch} compute_dtype={cd or 'float32'}: "
-            f"{steps / dt:,.0f} steps/sec")
+    for batch in batches:
+        x = rng.normal(size=(batch, width)).astype(np.float32)
+        y = rng.normal(size=(batch, 1)).astype(np.float32)
+        for cd in (None, "bfloat16"):
+            layers = []
+            for i in range(depth - 1):
+                layers += [GaussianDenseLayer(width, width,
+                                              compute_dtype=cd), Tanh()]
+            layers += [GaussianDenseLayer(width, 1, compute_dtype=cd)]
+            model = Sequential(layers)
+            steps, dt, acc, n_params = _bench_sampler(
+                model, x, y, n_chains=n_chains, leapfrog=20,
+                hyper_leapfrog=5, chunk=5, n_chunks=3, step_size=1e-5,
+                state_layout="tree")
+            rate = steps / dt
+            # one "iteration" = one leapfrog step of all 64 chains
+            ms_per_iter = 1e3 * dt / (steps / n_chains)
+            results[(batch, cd or "float32")] = (rate, ms_per_iter)
+            log(f"wide_deep batch={batch} "
+                f"compute_dtype={cd or 'float32'}: {rate:,.0f} steps/sec "
+                f"({ms_per_iter:.2f} ms/iter)")
 
-    speedup = results["bfloat16"] / results["float32"]
+    # fixed-vs-batch-linear split from the two extreme f32 points
+    b_lo, b_hi = min(batches), max(batches)
+    t_lo = results[(b_lo, "float32")][1]
+    t_hi = results[(b_hi, "float32")][1]
+    per_row_ms = (t_hi - t_lo) / (b_hi - b_lo)
+    fixed_ms = t_lo - b_lo * per_row_ms
+    speedups = {b: round(results[(b, "bfloat16")][0]
+                         / results[(b, "float32")][0], 3)
+                for b in batches}
+    log(f"fixed per-iter cost ~{fixed_ms:.2f} ms "
+        f"(state streaming) + {1e3 * per_row_ms:.2f} us/row; "
+        f"bf16 speedups {speedups}")
     print(json.dumps({
         "metric": "wide_deep bf16-vs-f32 leapfrog steps/sec "
-                  "(10x256 MLP, batch 1024, 64 chains)",
-        "value": round(results["bfloat16"], 1),
+                  f"(10x256 MLP, batch sweep {list(batches)}, 64 chains)",
+        "value": round(results[(max(batches), "bfloat16")][0], 1),
         "unit": "leapfrog steps/sec",
-        "float32_value": round(results["float32"], 1),
-        "bf16_speedup": round(speedup, 3),
+        "bf16_speedup_by_batch": speedups,
+        "f32_ms_per_iter_by_batch": {
+            b: round(results[(b, "float32")][1], 3) for b in batches},
+        "bf16_ms_per_iter_by_batch": {
+            b: round(results[(b, "bfloat16")][1], 3) for b in batches},
+        "fixed_ms_per_iter_f32": round(fixed_ms, 3),
+        "us_per_row_f32": round(1e3 * per_row_ms, 3),
         "potential": "xla-tree",
     }))
 
@@ -326,16 +357,25 @@ def bench_surrogate():
     }))
 
 
-def bench_surrogate_quality():
+def bench_surrogate_quality(n_chains: int = 8):
     """The surrogate config as a *posterior*, not just a throughput number
     (round-1 PERF_NOTES gap 4): run the full adaptive driver with a step
     grid at the ~1e-7 scale this 1M-point target needs, assert acceptance
-    lands in a healthy band, and report ESS/sec of a predictive summary."""
+    lands in a healthy band, and report ESS/sec of a predictive summary.
+
+    ``n_chains`` vmapped chains share the full-batch likelihood (VERDICT
+    round-2 #2 — the chains lever was never applied here). HBM budget at
+    width 64 over 1M points: each stored forward plane is
+    C x 1M x 64 f32 = 256MB x C; the backward pass keeps ~2 tanh
+    activations plus the input/output planes live, so C=8 costs roughly
+    8 x (2 x 256MB + ~70MB) ~ 4.7GB of activation HBM on the 16GB chip —
+    C=16 with gradient rematerialization would fit but is not needed for
+    the quality target. Data (1M x 8) adds 32MB; parameters are trivial.
+    """
     import jax
     import jax.numpy as jnp
 
     from tensorbnn_tpu import GaussianDenseLayer, GaussianLikelihood, Tanh
-    from tensorbnn_tpu.models.sequential import Sequential
     from tensorbnn_tpu.network import Network
     from tensorbnn_tpu.sampler.potential import flatten_state
 
@@ -372,35 +412,36 @@ def bench_surrogate_quality():
     epochs, sampling_step = 600, 2
     t0 = time.perf_counter()
     res = net.train(epochs, sampling_step, GaussianLikelihood(sd=0.1),
-                    verbose=False)
+                    n_chains=n_chains, chain_jitter=0.01, verbose=False)
     dt = time.perf_counter() - t0
 
     acc = float(res.main_accept[burnin:].mean())
-    # ESS of the predictive mean at a probe point over the sampled chain
+    # pooled ESS of the predictive mean at a probe point across all chains
     params, hypers = net.init_state()
     flat = flatten_state(params, hypers,
                          GaussianLikelihood(sd=0.1).init_hypers())
     xq = jnp.asarray(x[:1])
-    series = np.asarray(jax.jit(jax.vmap(
-        lambda th: net.model.apply(flat.unravel_theta(th), xq)[0, 0]))(
-        jnp.asarray(res.theta_samples[:, 0])))
-    from tensorbnn_tpu.utils.autocorr import integrated_time
-    tau = integrated_time(series, quiet=True)
-    ess = len(series) / max(float(tau), 1.0) if np.isfinite(tau) \
-        else float(len(series))
+    series = np.asarray(jax.jit(jax.vmap(jax.vmap(
+        lambda th: net.model.apply(flat.unravel_theta(th), xq)[0, 0])))(
+        jnp.asarray(res.theta_samples)))           # (S, C)
+    from tensorbnn_tpu.utils.autocorr import effective_sample_size_batch
+    ess = effective_sample_size_batch(series.T)
+    param_ess = res.multichain_ess(max_params=64)
 
     log(f"surrogate_quality: accept {acc:.3f} (target band 0.2-0.99), "
-        f"{len(series)} samples, tau {float(tau):.2f}, ESS {ess:.1f}, "
-        f"{dt:.0f}s wall, final eps {res.final_step_size:.2e}, "
-        f"L {res.final_leapfrog}")
+        f"{series.shape[0]} draws x {n_chains} chains, ESS {ess:.1f} "
+        f"(min-param {float(param_ess):.1f}), {dt:.0f}s wall, "
+        f"final eps {res.final_step_size:.2e}, L {res.final_leapfrog}")
     print(json.dumps({
-        "metric": "surrogate ESS/sec (1M-point likelihood, adaptive "
-                  "two-block driver, single chip)",
+        "metric": f"surrogate ESS/sec (1M-point likelihood, adaptive "
+                  f"two-block driver, {n_chains} chains, single chip)",
         "value": round(ess / dt, 4),
         "unit": "effective samples/sec",
         "mean_accept_post_burnin": round(acc, 4),
         "accept_in_band": bool(0.2 <= acc <= 0.99),
         "ess": round(ess, 1),
+        "min_param_ess": round(float(param_ess), 1),
+        "n_chains": n_chains,
         "wall_seconds": round(dt, 1),
         "final_step_size": res.final_step_size,
         "final_leapfrog": res.final_leapfrog,
@@ -408,12 +449,13 @@ def bench_surrogate_quality():
     }))
 
 
-def bench_ess(n_chains: int = 64, n_adapters: int = 1):
-    """ESS/sec on the flagship config — the BASELINE quality-adjusted
-    throughput metric (leapfrog throughput is meaningless if the chain
-    doesn't decorrelate). ``n_chains`` scales the fleet: chains decorrelate
-    independently, so ESS grows linearly while wall time grows sublinearly
-    until the chain blocks fill the 128-lane axis."""
+def ess_run(n_chains: int = 64, n_adapters: int = 1,
+            epochs: int = 1300) -> dict:
+    """The flagship config through the full adaptive driver, measured as
+    quality-adjusted throughput. Returns a result dict (shared with the
+    repo-root ``bench.py``, which embeds it in the driver-captured
+    artifact so the north-star "at equal ESS" evidence is machine-read,
+    not hand-run — VERDICT round-2 #1)."""
     import math
 
     import jax
@@ -423,6 +465,7 @@ def bench_ess(n_chains: int = 64, n_adapters: int = 1):
         Tanh
     from tensorbnn_tpu.network import Network
 
+    burnin = 300
     train_in = np.linspace(-2, 2, num=11)
     target = (np.sin(train_in * math.pi * 2) * train_in
               - np.cos(train_in * math.pi))
@@ -436,10 +479,10 @@ def bench_ess(n_chains: int = 64, n_adapters: int = 1):
                    step_size_max=2e-2, step_size_options=40,
                    leapfrog_start=50, leapfrog_min=20, leapfrog_max=200,
                    leapfrog_increment=5, hyper_step_size=1e-3,
-                   hyper_leapfrog=30, burnin=300, averaging_steps=10,
+                   hyper_leapfrog=30, burnin=burnin, averaging_steps=10,
                    random_steps=5)
     t0 = time.perf_counter()
-    res = net.train(1300, 2, FixedGaussianLikelihood(sd=0.1),
+    res = net.train(epochs, 2, FixedGaussianLikelihood(sd=0.1),
                     n_chains=n_chains, n_adapters=n_adapters,
                     chain_jitter=0.05, verbose=False)
     dt = time.perf_counter() - t0
@@ -455,15 +498,73 @@ def bench_ess(n_chains: int = 64, n_adapters: int = 1):
     series = np.asarray(series)
     from tensorbnn_tpu.utils.autocorr import effective_sample_size_batch
     total_ess = effective_sample_size_batch(series.T)
-    log(f"ess: {total_ess:.1f} effective samples across {n_chains} chains "
-        f"in {dt:.1f}s wall (incl. compile)")
+    # the conservative companion: worst-coordinate pooled parameter ESS
+    # (per-parameter batched-FFT taus; a slow-mixing weight cannot hide
+    # behind a fast predictive summary)
+    param_ess = res.multichain_ess(max_params=256)
+    return {
+        "n_chains": n_chains,
+        "n_adapters": n_adapters,
+        "epochs": epochs,
+        "ess_per_sec": round(total_ess / dt, 2),
+        "total_ess": round(total_ess, 1),
+        "min_param_ess": round(float(param_ess), 1),
+        "median_param_ess": round(param_ess.median, 1),
+        "accept_post_burnin": round(float(
+            res.main_accept[burnin:].mean()), 4),
+        "hyper_accept_post_burnin": round(float(
+            res.hyper_accept[burnin:].mean()), 4),
+        "wall_seconds": round(dt, 1),
+        "final_leapfrog": int(res.final_leapfrog),
+        "final_step_size": float(res.final_step_size),
+    }
+
+
+def bench_ess(n_chains: int = 64, n_adapters: int = 1):
+    """ESS/sec on the flagship config — the BASELINE quality-adjusted
+    throughput metric (leapfrog throughput is meaningless if the chain
+    doesn't decorrelate). ``n_chains`` scales the fleet: chains decorrelate
+    independently, so ESS grows linearly while wall time grows sublinearly
+    until the chain blocks fill the 128-lane axis."""
+    r = ess_run(n_chains, n_adapters)
+    log(f"ess: {r['total_ess']} effective samples across {n_chains} "
+        f"chains in {r['wall_seconds']}s wall (incl. compile); "
+        f"min-param ESS {r['min_param_ess']}")
     print(json.dumps({
         "metric": f"ESS/sec (predictive summary, {n_chains} chains, "
                   f"{n_adapters} adapter group(s), flagship MLP)",
-        "value": round(total_ess / dt, 2),
+        "value": r["ess_per_sec"],
         "unit": "effective samples/sec",
-        "total_ess": round(total_ess, 1),
-        "mean_accept": round(float(res.main_accept[300:].mean()), 4),
+        "total_ess": r["total_ess"],
+        "min_param_ess": r["min_param_ess"],
+        "median_param_ess": r["median_param_ess"],
+        "mean_accept": r["accept_post_burnin"],
+    }))
+
+
+def bench_ess_group_sweep(n_chains: int = 512,
+                          groups=(1, 2, 4, 8, 16)) -> None:
+    """Adapter-group sweep at a fixed fleet size (VERDICT round-2 #7):
+    turns the two-point group-count evidence into a defensible default.
+    Reports, per G: total ESS, wall, ESS/sec, and the straggler overhead
+    (mean executed L / max L across groups per epoch — chains in short-L
+    groups mask-freeze while the longest group finishes)."""
+    rows = []
+    for g in groups:
+        r = ess_run(n_chains, g)
+        log(f"G={g}: {r['total_ess']} ESS in {r['wall_seconds']}s "
+            f"-> {r['ess_per_sec']}/s, accept {r['accept_post_burnin']}")
+        rows.append({"n_adapters": g, **{k: r[k] for k in (
+            "ess_per_sec", "total_ess", "min_param_ess",
+            "accept_post_burnin", "wall_seconds")}})
+    best = max(rows, key=lambda r: r["ess_per_sec"])
+    print(json.dumps({
+        "metric": f"adapter-group sweep ESS/sec ({n_chains} chains, "
+                  f"G in {list(groups)}, flagship MLP)",
+        "value": best["ess_per_sec"],
+        "unit": "effective samples/sec",
+        "best_n_adapters": best["n_adapters"],
+        "sweep": rows,
     }))
 
 
@@ -528,6 +629,56 @@ def bench_predict():
     }))
 
 
+def bench_writer(n_chains: int = 512):
+    """Streaming-writer throughput at the wide-fleet configuration where
+    streaming is mandatory (~2GB in-memory cutoff): RunWriter.append for
+    one sampling epoch of the flagship model across ``n_chains`` chains
+    (VERDICT round-2 #6). Host-side only — runs the same on any backend."""
+    import tempfile
+
+    import jax
+
+    from tensorbnn_tpu import FixedGaussianLikelihood, GaussianDenseLayer, \
+        Tanh
+    from tensorbnn_tpu.io import fast_text
+    from tensorbnn_tpu.io.reference_format import RunWriter
+    from tensorbnn_tpu.models.sequential import Sequential
+
+    model = Sequential([GaussianDenseLayer(1, 10), Tanh(),
+                        GaussianDenseLayer(10, 10), Tanh(),
+                        GaussianDenseLayer(10, 10), Tanh(),
+                        GaussianDenseLayer(10, 1)])
+    params, hypers = model.init(jax.random.key(0))
+    params = jax.tree.map(np.asarray, params)
+    hypers = jax.tree.map(np.asarray, hypers)
+    lik = FixedGaussianLikelihood(sd=0.1)
+
+    reps = 4
+    with tempfile.TemporaryDirectory() as d:
+        w = RunWriter(d, model, lik, networks_per_file=1000)
+        w.append(params, hypers, {}, chain=0)      # open files/shapes
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            for c in range(n_chains):
+                w.append(params, hypers, {}, chain=c)
+        for f in w._files:
+            f.flush()
+        dt = time.perf_counter() - t0
+        w.close()
+    nets_per_sec = reps * n_chains / dt
+    log(f"writer: {reps * n_chains} networks in {dt:.2f}s -> "
+        f"{nets_per_sec:,.0f} networks/sec "
+        f"(native formatter: {fast_text.native_available()})")
+    print(json.dumps({
+        "metric": f"streaming-writer throughput (flagship 3x10 MLP, "
+                  f"{n_chains} chains/epoch, reference text format)",
+        "value": round(nets_per_sec, 1),
+        "unit": "networks/sec",
+        "seconds_per_epoch_at_512_chains": round(512 / nets_per_sec, 3),
+        "native_formatter": fast_text.native_available(),
+    }))
+
+
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     if which in ("wide_deep", "all"):
@@ -554,6 +705,10 @@ def main():
         bench_ess(512, n_adapters=8)
     if which == "ess1024_groups":
         bench_ess(1024, n_adapters=8)
+    if which == "ess_group_sweep":
+        bench_ess_group_sweep()
+    if which in ("writer", "all"):
+        bench_writer()
     if which in ("predict", "all"):
         bench_predict()
 

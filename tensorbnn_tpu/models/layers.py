@@ -31,6 +31,7 @@ from typing import Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from tensorbnn_tpu.distributions import (
     cauchy_logprob,
@@ -117,12 +118,18 @@ def _he_like_init(key, in_dim, out_dim, dtype):
 class _DenseCompute:
     """Shared dense forward pass with an optional reduced-precision matmul.
 
-    With ``compute_dtype="bfloat16"`` the matmul inputs are cast to bf16 and
-    accumulated in f32 (``preferred_element_type``) — the MXU's native mode
-    on TPU, ~4x the fp32-emulation throughput. The log posterior then *is*
-    the bf16-forward density: MH acceptance stays exact for that (slightly
-    perturbed) target, so chains remain valid draws; default is full f32 for
-    bitwise-stable parity runs.
+    With ``compute_dtype="bfloat16"`` the matmul runs on bf16 inputs with
+    f32 accumulation (``preferred_element_type``) — the MXU's native mode
+    on TPU — and the layer *output* is cast back to bf16, so in a stack of
+    bf16 layers the whole activation stream (forward activations, their
+    cached copies for the backward pass, and the activation gradients)
+    stays bf16 end-to-end and each layer's input cast is a no-op. Keeping
+    the output f32 instead (the round-2 behavior) put a full-width
+    cast/read of every activation plane back on the HBM path each leapfrog
+    step, which is why bf16 measured ~1.03x then (benchmarks/PERF_NOTES.md
+    round 3). The log posterior then *is* the bf16-forward density: MH
+    acceptance stays exact for that (slightly perturbed) target, so chains
+    remain valid draws; default is full f32 for bitwise-stable parity runs.
     """
 
     def _dense_apply(self, params, x):
@@ -131,7 +138,7 @@ class _DenseCompute:
             dt = jnp.dtype(cd)
             y = jnp.dot(x.astype(dt), params["w"].astype(dt),
                         preferred_element_type=jnp.float32)
-            return y + params["b"]
+            return (y + params["b"]).astype(dt)
         return x @ params["w"] + params["b"]
 
 
@@ -146,23 +153,27 @@ class _DenseRefIO:
 
     _HYPER_KEYS = ("w_loc", "w_scale", "b_loc", "b_scale")
 
+    # numpy on purpose: these run on host per network per chain in the
+    # streaming writer — jnp here routes every tiny transpose through the
+    # JAX dispatcher (measured 10x the whole append cost at 512 chains)
+
     def ref_param_tensors(self, params):
-        w = jnp.swapaxes(jnp.asarray(params["w"]), -1, -2)
-        b = jnp.asarray(params["b"])[..., None]
+        w = np.swapaxes(np.asarray(params["w"]), -1, -2)
+        b = np.asarray(params["b"])[..., None]
         return [w, b]
 
     def params_from_ref(self, tensors):
         w, b = tensors
         return {
-            "w": jnp.swapaxes(jnp.asarray(w), -1, -2),
-            "b": jnp.asarray(b)[..., 0],
+            "w": np.swapaxes(np.asarray(w), -1, -2),
+            "b": np.asarray(b)[..., 0],
         }
 
     def ref_hyper_values(self, hypers):
-        return [jnp.asarray(hypers[k]) for k in self._HYPER_KEYS]
+        return [np.asarray(hypers[k]) for k in self._HYPER_KEYS]
 
     def hypers_from_ref(self, values):
-        return {k: jnp.asarray(v) for k, v in zip(self._HYPER_KEYS, values)}
+        return {k: np.asarray(v) for k, v in zip(self._HYPER_KEYS, values)}
 
 
 @dataclasses.dataclass(frozen=True)
@@ -347,7 +358,7 @@ class LeakyRelu(LayerSpec):
 
     def ref_param_tensors(self, params):
         del params
-        return [jnp.asarray([self.alpha])]
+        return [np.asarray([self.alpha])]
 
     def params_from_ref(self, tensors):
         del tensors  # the saved alpha copy is dead weight (see class doc)
@@ -393,16 +404,16 @@ class Prelu(LayerSpec):
         return prob
 
     def ref_param_tensors(self, params):
-        return [jnp.asarray(params["slopes"])[..., None]]
+        return [np.asarray(params["slopes"])[..., None]]
 
     def params_from_ref(self, tensors):
-        return {"slopes": jnp.asarray(tensors[0])[..., 0]}
+        return {"slopes": np.asarray(tensors[0])[..., 0]}
 
     def ref_hyper_values(self, hypers):
-        return [jnp.asarray(hypers["rate"])]
+        return [np.asarray(hypers["rate"])]
 
     def hypers_from_ref(self, values):
-        return {"rate": jnp.asarray(values[0])}
+        return {"rate": np.asarray(values[0])}
 
 
 @dataclasses.dataclass(frozen=True)
@@ -447,16 +458,17 @@ class SquarePrelu(LayerSpec):
         return prob
 
     def ref_param_tensors(self, params):
-        return [jnp.asarray(params["slopes"])[..., None]]
+        return [np.asarray(params["slopes"])[..., None]]
 
     def params_from_ref(self, tensors):
-        return {"slopes": jnp.asarray(tensors[0])[..., 0]}
+        return {"slopes": np.asarray(tensors[0])[..., 0]}
 
     def ref_hyper_values(self, hypers):
-        return [jnp.asarray(hypers["loc"]), jnp.asarray(hypers["scale"])]
+        return [np.asarray(hypers["loc"]), np.asarray(hypers["scale"])]
 
     def hypers_from_ref(self, values):
-        return {"loc": jnp.asarray(values[0]), "scale": jnp.asarray(values[1])}
+        return {"loc": np.asarray(values[0]),
+                "scale": np.asarray(values[1])}
 
 
 #: registry mapping reference architecture.txt names to spec constructors,

@@ -47,7 +47,7 @@ from tensorbnn_tpu.parallel.chains import (
 from tensorbnn_tpu.parallel.mesh import DATA_AXIS, chain_sharding, \
     data_sharding
 from tensorbnn_tpu.sampler.adapter import ParamAdapter
-from tensorbnn_tpu.sampler.potential import flatten_state
+from tensorbnn_tpu.sampler.potential import flatten_state, host_unraveler
 
 
 @dataclasses.dataclass
@@ -229,6 +229,10 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
 
     lik_hypers = likelihood.init_hypers(dtype)
     flat = flatten_state(params, hypers, lik_hypers)
+    # host-side unravel for the streaming writer (numpy, no JAX dispatch
+    # in the per-network loop)
+    unravel_theta_np = host_unraveler(params)
+    unravel_eta_np = host_unraveler((hypers, lik_hypers))
 
     # Fused Pallas potential (chains-on-lanes likelihood value+grad) when
     # the model matches the kernel's scope and fits VMEM. "auto" enables it
@@ -536,13 +540,9 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
                     eta_samples.append(rows[j][1])
                 if writer is not None:
                     for c in range(n_chains):
-                        p_c = jax.tree.map(np.asarray, flat.unravel_theta(
-                            jnp.asarray(rows[j][0][c])))
-                        h_c, lh_c = flat.unravel_eta(
-                            jnp.asarray(rows[j][1][c]))
-                        writer.append(p_c, jax.tree.map(np.asarray, h_c),
-                                      jax.tree.map(np.asarray, lh_c),
-                                      chain=c)
+                        p_c = unravel_theta_np(rows[j][0][c])
+                        h_c, lh_c = unravel_eta_np(rows[j][1][c])
+                        writer.append(p_c, h_c, lh_c, chain=c)
 
             if display_skip and iter_ % display_skip == 0 and verbose:
                 print(f"\niter:{iter_:>2}")

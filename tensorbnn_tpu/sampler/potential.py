@@ -45,6 +45,32 @@ def flatten_state(params, hypers, lik_hypers) -> FlatModelState:
     return FlatModelState(theta, eta, unravel_theta, unravel_eta)
 
 
+def host_unraveler(example_pytree) -> Callable:
+    """Pure-numpy unravel for host-side consumers (the streaming writer
+    unravels one vector per network per chain — routing that through the
+    jnp ``ravel_pytree`` closure costs a JAX dispatch per leaf per call).
+
+    Leaf order matches ``ravel_pytree``'s (both are ``tree_flatten``
+    order; all leaves share one dtype here so no promotion reordering),
+    which the fused-kernel layout contract already pins down
+    (ops/fused_mlp.verify_theta_layout).
+    """
+    import numpy as np
+
+    leaves, treedef = jax.tree.flatten(example_pytree)
+    shapes = [np.shape(leaf) for leaf in leaves]
+    sizes = [int(np.size(leaf)) for leaf in leaves]
+    offsets = np.concatenate([[0], np.cumsum(sizes)])
+
+    def unravel(vec):
+        vec = np.asarray(vec).reshape(-1)
+        return jax.tree.unflatten(treedef, [
+            vec[offsets[i]:offsets[i + 1]].reshape(shapes[i])
+            for i in range(len(shapes))])
+
+    return unravel
+
+
 class Potentials(NamedTuple):
     #: log_post_main(theta, eta) -> scalar: prior + likelihood (main block)
     main: Callable

@@ -215,3 +215,34 @@ def test_network_validates_device_arrays_without_transfer():
 
     xi = np.arange(8, dtype=np.int64).reshape(8, 1)
     Network(jnp.float32, 1, xi, np.arange(8.0), xi, np.arange(8.0))
+
+
+def test_host_unraveler_matches_ravel_pytree():
+    """The numpy host unraveler must reproduce ravel_pytree's layout
+    exactly (the streaming writer depends on it)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tensorbnn_tpu import (FixedGaussianLikelihood, GaussianDenseLayer,
+                               SquarePrelu, Tanh)
+    from tensorbnn_tpu.models.sequential import Sequential
+    from tensorbnn_tpu.sampler.potential import flatten_state, host_unraveler
+
+    model = Sequential([GaussianDenseLayer(2, 5), SquarePrelu(5), Tanh(),
+                        GaussianDenseLayer(5, 1)])
+    params, hypers = model.init(jax.random.key(0))
+    lik = FixedGaussianLikelihood(sd=0.1)
+    flat = flatten_state(params, hypers, lik.init_hypers())
+
+    rng = np.random.default_rng(0)
+    vec_t = rng.normal(size=flat.theta.size).astype(np.float32)
+    vec_e = rng.normal(size=flat.eta.size).astype(np.float32)
+
+    want_t = jax.tree.map(np.asarray, flat.unravel_theta(jnp.asarray(vec_t)))
+    got_t = host_unraveler(params)(vec_t)
+    jax.tree.map(np.testing.assert_array_equal, got_t, want_t)
+
+    want_e = jax.tree.map(np.asarray, flat.unravel_eta(jnp.asarray(vec_e)))
+    got_e = host_unraveler((hypers, lik.init_hypers()))(vec_e)
+    jax.tree.map(np.testing.assert_array_equal, got_e, want_e)
