@@ -357,20 +357,35 @@ def bench_surrogate():
     }))
 
 
-def bench_surrogate_quality(n_chains: int = 8):
+def bench_surrogate_quality(n_chains: int = 32):
     """The surrogate config as a *posterior*, not just a throughput number
     (round-1 PERF_NOTES gap 4): run the full adaptive driver with a step
     grid at the ~1e-7 scale this 1M-point target needs, assert acceptance
     lands in a healthy band, and report ESS/sec of a predictive summary.
 
     ``n_chains`` vmapped chains share the full-batch likelihood (VERDICT
-    round-2 #2 — the chains lever was never applied here). HBM budget at
-    width 64 over 1M points: each stored forward plane is
-    C x 1M x 64 f32 = 256MB x C; the backward pass keeps ~2 tanh
-    activations plus the input/output planes live, so C=8 costs roughly
-    8 x (2 x 256MB + ~70MB) ~ 4.7GB of activation HBM on the 16GB chip —
-    C=16 with gradient rematerialization would fit but is not needed for
-    the quality target. Data (1M x 8) adds 32MB; parameters are trivial.
+    round-2 #2 — the chains lever was never applied here). Every chain
+    starts at the MAP with no positional jitter: on a 1M-point posterior
+    the mode is so sharp that even 0.01-sd jitter collapses acceptance to
+    ~0.07 (measured round 3); per-chain momentum draws decorrelate the
+    fleet instead. HBM budget at width 64 over 1M points: un-chunked, each
+    stored forward plane is C x 1M x 64 f32 = 256MB x C and the backward
+    pass keeps ~2 tanh activations live, capping one 16GB chip at ~16
+    chains (measured: 16 chains ~ 9.4GB). ``data_chunk=125_000`` bounds
+    activations to C x chunk x 64 x ~2.5 planes via exact chunked
+    gradient accumulation (sampler/potential.py), which is what lets the
+    chain fleet scale past the un-chunked ceiling (probe at 64 chains:
+    fits, 6.5ms per chain-leapfrog incl. ~1.6x remat overhead).
+
+    Config rationale (measured round 3): this posterior is compute-bound
+    per leapfrog (4.1ms/chain-step un-chunked), so
+    ESS/sec ~ C / (tau * thinning * (fixed + C*L*step_cost)) — once C
+    amortizes the ~1s/epoch fixed cost, quality throughput is set by
+    tau*L, NOT by more chains. The GP adapter maximizes SJD/sqrt(L),
+    which happily buys 50-step sweeps whose wall cost dwarfs their
+    mixing gain (L=50 run: 1137s for 161 ESS); capping the grid at
+    L<=15 keeps it in the short-trajectory regime where round-2 runs
+    measured tau ~ 1-2.
     """
     import jax
     import jax.numpy as jnp
@@ -404,7 +419,7 @@ def bench_surrogate_quality(n_chains: int = 8):
     burnin = 200
     net.setup_mcmc(step_size_start=1e-7, step_size_min=1e-8,
                    step_size_max=2e-6, step_size_options=40,
-                   leapfrog_start=20, leapfrog_min=5, leapfrog_max=50,
+                   leapfrog_start=10, leapfrog_min=5, leapfrog_max=15,
                    leapfrog_increment=5, hyper_step_size=1e-6,
                    hyper_leapfrog=5, burnin=burnin, averaging_steps=10,
                    random_steps=5)
@@ -412,7 +427,8 @@ def bench_surrogate_quality(n_chains: int = 8):
     epochs, sampling_step = 600, 2
     t0 = time.perf_counter()
     res = net.train(epochs, sampling_step, GaussianLikelihood(sd=0.1),
-                    n_chains=n_chains, chain_jitter=0.01, verbose=False)
+                    n_chains=n_chains, chain_jitter=0.0,
+                    data_chunk=125_000, verbose=False)
     dt = time.perf_counter() - t0
 
     acc = float(res.main_accept[burnin:].mean())

@@ -77,7 +77,8 @@ def make_multichain_chunk_runner(model: Sequential, likelihood: Likelihood,
                                  batched_main_vg=None,
                                  batched_main_traj=None,
                                  state_layout: str = "flat",
-                                 per_chain_adapt: bool = False):
+                                 per_chain_adapt: bool = False,
+                                 data_chunk=None):
     """Builds ``run_chunk(carry, x, y, step_size, leapfrog, n_epochs)`` over
     batched chains.
 
@@ -119,7 +120,8 @@ def make_multichain_chunk_runner(model: Sequential, likelihood: Likelihood,
                     unravel_theta=unravel_theta,
                     theta_dim=carry.theta.shape[-1],
                     axis_name=axis_name,
-                    eta_dim=carry.eta.shape[-1])
+                    eta_dim=carry.eta.shape[-1],
+                    data_chunk=data_chunk)
                 tree_carry = carry._replace(theta=unravel_b(carry.theta))
 
                 def step(c, _):
@@ -141,7 +143,8 @@ def make_multichain_chunk_runner(model: Sequential, likelihood: Likelihood,
                 burnin=burnin, mu=mu, axis_name=axis_name,
                 batched_main_vg=batched_main_vg,
                 batched_main_traj=batched_main_traj,
-                eta_dim=carry.eta.shape[-1])
+                eta_dim=carry.eta.shape[-1],
+                data_chunk=data_chunk)
 
             def step(c, _):
                 return epoch_fn(c, step_size, leapfrog)

@@ -178,6 +178,7 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
                      tracer=None,
                      use_fused: str = "auto",
                      state_layout: str = "auto",
+                     data_chunk: Optional[int] = None,
                      donate: bool = False,
                      keep_samples="auto",
                      verbose: bool = True) -> RunResult:
@@ -203,6 +204,12 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
     group's leapfrog count (finished chains mask-freeze inside the
     integrator). ``n_adapters=1`` (default) is the shared-adapter design:
     one adapter fed the cross-chain mean SJD.
+
+    ``data_chunk``: when set, the likelihood value/grad accumulates over
+    row chunks of that size (exact — all shipped likelihoods are
+    row-additive; see sampler/potential.py), bounding activation HBM to
+    ``chains x data_chunk x width``. This is how wide chain fleets run
+    over big-data likelihoods on one chip (e.g. 64 chains x 1M points).
     """
     t_start = time.time()
     if n_adapters < 1 or n_chains % n_adapters:
@@ -308,6 +315,11 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
         batched_main_vg=batched_main_vg,
         batched_main_traj=batched_main_traj,
         state_layout=state_layout,
+        # exact chunked likelihood accumulation: bounds activation HBM to
+        # chains x data_chunk x width for big-data runs (the fused
+        # kernels, if any matched above, consume whole batches and are
+        # unaffected — they only engage in the tiny-data regime anyway)
+        data_chunk=data_chunk,
         per_chain_adapt=n_adapters > 1)
 
     carry = init_multichain_state(flat.theta, flat.eta, key,

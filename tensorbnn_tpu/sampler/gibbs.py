@@ -70,7 +70,8 @@ def make_epoch_fn(model: Sequential, likelihood: Likelihood, x, y,
                   axis_name: Optional[str] = None,
                   batched_main_vg: Optional[Callable] = None,
                   batched_main_traj: Optional[Callable] = None,
-                  eta_dim: Optional[int] = None):
+                  eta_dim: Optional[int] = None,
+                  data_chunk: Optional[int] = None):
     """Builds ``epoch_fn(carry, step_size, leapfrog) -> (carry, trace_row)``
     over a chain-batched carry.
 
@@ -86,7 +87,8 @@ def make_epoch_fn(model: Sequential, likelihood: Likelihood, x, y,
     """
     potentials = make_potentials(model, likelihood, x, y,
                                  unravel_theta, unravel_eta,
-                                 axis_name=axis_name)
+                                 axis_name=axis_name,
+                                 data_chunk=data_chunk)
     if batched_main_vg is not None:
         main_vg_b = lambda ths, etas: batched_main_vg(ths, etas, x, y)  # noqa: E731
     else:
@@ -102,7 +104,8 @@ def make_epoch_fn(model: Sequential, likelihood: Likelihood, x, y,
         from tensorbnn_tpu.sampler.hyper_stats import make_stats_hyper
         stats_pair = make_stats_hyper(model, likelihood, x, y,
                                       unravel_eta, eta_dim,
-                                      axis_name=axis_name)
+                                      axis_name=axis_name,
+                                      data_chunk=data_chunk)
     unravel_theta_b = jax.vmap(unravel_theta)
 
     def epoch_fn(carry: ChainState, step_size, leapfrog):
@@ -194,7 +197,8 @@ def make_tree_epoch_fn(model: Sequential, likelihood: Likelihood, x, y,
                        unravel_theta=None,
                        theta_dim: int = None,
                        axis_name: Optional[str] = None,
-                       eta_dim: Optional[int] = None):
+                       eta_dim: Optional[int] = None,
+                       data_chunk: Optional[int] = None):
     """Tree-state epoch step for wide models.
 
     The main-chain state lives as a stacked params pytree (leaves (C, ...))
@@ -209,9 +213,14 @@ def make_tree_epoch_fn(model: Sequential, likelihood: Likelihood, x, y,
     """
     from jax import lax
     from tensorbnn_tpu.sampler.hmc import hmc_step_tree
+    from tensorbnn_tpu.sampler.potential import _chunked_loglik
+
+    chunked = _chunked_loglik(model, likelihood, x, y, data_chunk)
 
     def loglik(params, eta):
         _, lik_hypers = unravel_eta(eta)
+        if chunked is not None:
+            return chunked(params, lik_hypers)
         preds = model.apply(params, x)
         return likelihood.log_likelihood(preds, y, lik_hypers)
 
@@ -255,7 +264,8 @@ def make_tree_epoch_fn(model: Sequential, likelihood: Likelihood, x, y,
         from tensorbnn_tpu.sampler.hyper_stats import make_stats_hyper
         stats_pair = make_stats_hyper(model, likelihood, x, y,
                                       unravel_eta, eta_dim,
-                                      axis_name=axis_name)
+                                      axis_name=axis_name,
+                                      data_chunk=data_chunk)
 
     momentum_fn = None
     if unravel_theta is not None and theta_dim is not None:

@@ -41,7 +41,8 @@ def _clip_sd(s):
 
 def make_stats_hyper(model, likelihood, x, y, unravel_eta,
                      eta_dim: int,
-                     axis_name: Optional[str] = None
+                     axis_name: Optional[str] = None,
+                     data_chunk: Optional[int] = None
                      ) -> Optional[Tuple[Callable, Callable]]:
     """Builds ``(stats_fn, hyper_vg)`` or returns None when out of scope.
 
@@ -108,6 +109,34 @@ def make_stats_hyper(model, likelihood, x, y, unravel_eta,
     n_local = int(np.shape(x)[0]) * int(
         model.layers[dense_layers[-1][0]].out_dim)
 
+    # R = sum(resid^2) over the full dataset, once per epoch. With
+    # data_chunk set, accumulate it over row chunks (forward-only scan:
+    # nothing is differentiated through stats_fn, so the per-chunk
+    # activations are freed as the scan advances — same HBM bound as the
+    # chunked potential in sampler/potential.py)
+    if data_chunk and int(np.shape(x)[0]) % data_chunk == 0 \
+            and int(np.shape(x)[0]) // data_chunk > 1:
+        n_ch = int(np.shape(x)[0]) // data_chunk
+        xs = jnp.reshape(x, (n_ch, data_chunk) + jnp.shape(x)[1:])
+        ys = jnp.reshape(jnp.asarray(y), (n_ch, data_chunk)
+                         + jnp.shape(y)[1:])
+
+        def resid_sq(params):
+            def body(acc, xy):
+                xc, yc = xy
+                preds = model.apply(params, xc)
+                r = jnp.reshape(jnp.asarray(yc, preds.dtype),
+                                preds.shape) - preds
+                return acc + jnp.sum(r * r), None
+            out, _ = lax.scan(body, jnp.zeros((), x.dtype), (xs, ys))
+            return out
+    else:
+        def resid_sq(params):
+            preds = model.apply(params, x)
+            resid = jnp.reshape(jnp.asarray(y, preds.dtype),
+                                preds.shape) - preds
+            return jnp.sum(resid * resid)
+
     def stats_one(params):
         """Per-chain stats from one params pytree."""
         parts = []
@@ -117,10 +146,7 @@ def make_stats_hyper(model, likelihood, x, y, unravel_eta,
             parts.extend([jnp.sum(w), jnp.sum(w * w),
                           jnp.sum(b), jnp.sum(b * b)])
         if coupled:
-            preds = model.apply(params, x)
-            resid = jnp.reshape(jnp.asarray(y, preds.dtype), preds.shape) \
-                - preds
-            parts.append(jnp.sum(resid * resid))
+            parts.append(resid_sq(params))
         return jnp.stack(parts)
 
     def stats_fn(params_batched):
