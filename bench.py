@@ -10,7 +10,7 @@ The BASELINE north star is throughput *at equal ESS* with calibrated
 acceptance (BASELINE.md:21-24) — raw steps/sec at near-1.0 acceptance is
 a throughput probe, not a sampler. The ``quality`` block therefore runs
 the flagship config through the full adaptive driver (GP-UCB + dual
-averaging) at the measured best configuration — 512 vmapped chains in 8
+averaging) at the measured best configuration — 512 vmapped chains in 4
 adapter groups (benchmarks/PERF_NOTES.md) — and reports pooled ESS/sec of
 a predictive summary, the *worst-coordinate* pooled parameter ESS, and the
 post-burn-in acceptance, so the driver-captured artifact itself carries
@@ -139,12 +139,13 @@ def main():
         f"{base_rate:,.0f} steps/sec (single chain, per-epoch dispatch)")
 
     # -- north-star quality block: adaptive driver at the measured best
-    #    config (512 chains / 8 adapter groups), ESS/sec + acceptance -------
+    #    config (512 chains / 4 adapter groups — the round-3 G-sweep's
+    #    winner, benchmarks/PERF_NOTES.md), ESS/sec + acceptance ----------
     import os
     sys.path.insert(0, os.path.join(os.path.dirname(
         os.path.abspath(__file__)), "benchmarks"))
     from run_benchmarks import ess_run
-    q = ess_run(n_chains=512, n_adapters=8)
+    q = ess_run(n_chains=512, n_adapters=4)
     log(f"quality: {q['total_ess']} effective samples "
         f"({q['ess_per_sec']}/sec) in {q['wall_seconds']}s, "
         f"accept {q['accept_post_burnin']}, "
