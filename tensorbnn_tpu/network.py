@@ -145,6 +145,7 @@ class Network:
               chain_jitter: float = 0.0, mesh=None,
               use_fused: str = "auto", state_layout: str = "auto",
               data_chunk: Optional[int] = None,
+              precondition=False,
               checkpoint_dir=None,
               checkpoint_every: int = 0, tracer=None,
               keep_samples="auto",
@@ -181,7 +182,7 @@ class Network:
             n_chains=n_chains, n_adapters=n_adapters,
             chain_jitter=chain_jitter, mesh=mesh,
             use_fused=use_fused, state_layout=state_layout,
-            data_chunk=data_chunk,
+            data_chunk=data_chunk, precondition=precondition,
             checkpoint_dir=checkpoint_dir,
             checkpoint_every=checkpoint_every, tracer=tracer,
             keep_samples=keep_samples, verbose=verbose)

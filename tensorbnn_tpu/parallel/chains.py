@@ -78,7 +78,8 @@ def make_multichain_chunk_runner(model: Sequential, likelihood: Likelihood,
                                  batched_main_traj=None,
                                  state_layout: str = "flat",
                                  per_chain_adapt: bool = False,
-                                 data_chunk=None):
+                                 data_chunk=None,
+                                 step_scale=None):
     """Builds ``run_chunk(carry, x, y, step_size, leapfrog, n_epochs)`` over
     batched chains.
 
@@ -121,7 +122,8 @@ def make_multichain_chunk_runner(model: Sequential, likelihood: Likelihood,
                     theta_dim=carry.theta.shape[-1],
                     axis_name=axis_name,
                     eta_dim=carry.eta.shape[-1],
-                    data_chunk=data_chunk)
+                    data_chunk=data_chunk,
+                    step_scale=step_scale)
                 tree_carry = carry._replace(theta=unravel_b(carry.theta))
 
                 def step(c, _):
@@ -144,7 +146,8 @@ def make_multichain_chunk_runner(model: Sequential, likelihood: Likelihood,
                 batched_main_vg=batched_main_vg,
                 batched_main_traj=batched_main_traj,
                 eta_dim=carry.eta.shape[-1],
-                data_chunk=data_chunk)
+                data_chunk=data_chunk,
+                step_scale=step_scale)
 
             def step(c, _):
                 return epoch_fn(c, step_size, leapfrog)

@@ -179,6 +179,7 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
                      use_fused: str = "auto",
                      state_layout: str = "auto",
                      data_chunk: Optional[int] = None,
+                     precondition=False,
                      donate: bool = False,
                      keep_samples="auto",
                      verbose: bool = True) -> RunResult:
@@ -210,6 +211,15 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
     row-additive; see sampler/potential.py), bounding activation HBM to
     ``chains x data_chunk x width``. This is how wide chain fleets run
     over big-data likelihoods on one chip (e.g. 64 chains x 1M points).
+
+    ``precondition``: ``True`` (estimate at burnin/2) or an epoch number.
+    At the first chunk boundary past the threshold, per-coordinate
+    posterior scales are estimated from the cross-chain spread of theta,
+    normalized to median 1 and clipped to [0.2, 5], then applied as
+    per-coordinate leapfrog step multipliers — a diagonal-metric
+    (Stan ``diag_e``) preconditioner (sampler/hmc.py). The GP adapter
+    keeps tuning the global step size on top. Opt-in, beyond the
+    reference; requires ``n_chains >= 8``; bypasses the Pallas kernels.
     """
     t_start = time.time()
     if n_adapters < 1 or n_chains % n_adapters:
@@ -246,6 +256,29 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
     # on TPU only; use_fused=True forces it (interpret mode off-TPU, for
     # tests). Under a mesh the kernel consumes the local data shard and its
     # (value, grad) pair is psum'd over the data axis (VERDICT round-1 #2).
+    # diagonal-metric preconditioning (opt-in, beyond the reference):
+    # `precondition=True` (or an epoch number) estimates per-coordinate
+    # posterior scales from the cross-chain spread at the first chunk
+    # boundary past the threshold and folds them into the leapfrog as
+    # per-coordinate step multipliers (exactly Stan's diag_e metric; see
+    # sampler/hmc.py). Needs a fleet to estimate from, and bypasses the
+    # scalar-eps Pallas kernels.
+    precond_at = None
+    if precondition:
+        if n_chains < 8:
+            raise ValueError(
+                f"precondition needs n_chains >= 8 to estimate "
+                f"per-coordinate scales from the cross-chain spread "
+                f"(got {n_chains})")
+        precond_at = (config.burnin // 2 if precondition is True
+                      else int(precondition))
+        if use_fused is True:
+            raise ValueError(
+                "precondition is incompatible with use_fused=True (the "
+                "Pallas kernels take a scalar step size); use "
+                "use_fused='auto' or False")
+        use_fused = False
+
     batched_main_vg = None
     batched_main_traj = None
     on_tpu = jax.default_backend() == "tpu"
@@ -301,26 +334,31 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
                                    and (big_model or big_data))
                         else "flat")
 
-    run_chunk = make_multichain_chunk_runner(
-        model, likelihood, x_train, y_train,
-        flat.unravel_theta, flat.unravel_eta,
-        adjust_hypers=adjust_hypers,
-        hyper_leapfrog=config.hyper_leapfrog,
-        burnin=float(config.burnin),
-        hyper_step_size_init=config.hyper_step_size,
-        mesh=mesh,
-        # buffer donation crashes the axon PJRT backend at runtime
-        # (INVALID_ARGUMENT on the donated carry); opt-in only
-        donate=donate,
-        batched_main_vg=batched_main_vg,
-        batched_main_traj=batched_main_traj,
-        state_layout=state_layout,
-        # exact chunked likelihood accumulation: bounds activation HBM to
-        # chains x data_chunk x width for big-data runs (the fused
-        # kernels, if any matched above, consume whole batches and are
-        # unaffected — they only engage in the tiny-data regime anyway)
-        data_chunk=data_chunk,
-        per_chain_adapt=n_adapters > 1)
+    def _build_runner(step_scale=None):
+        return make_multichain_chunk_runner(
+            model, likelihood, x_train, y_train,
+            flat.unravel_theta, flat.unravel_eta,
+            adjust_hypers=adjust_hypers,
+            hyper_leapfrog=config.hyper_leapfrog,
+            burnin=float(config.burnin),
+            hyper_step_size_init=config.hyper_step_size,
+            mesh=mesh,
+            # buffer donation crashes the axon PJRT backend at runtime
+            # (INVALID_ARGUMENT on the donated carry); opt-in only
+            donate=donate,
+            batched_main_vg=batched_main_vg,
+            batched_main_traj=batched_main_traj,
+            state_layout=state_layout,
+            # exact chunked likelihood accumulation: bounds activation HBM
+            # to chains x data_chunk x width for big-data runs (the fused
+            # kernels, if any matched above, consume whole batches and are
+            # unaffected — they only engage in the tiny-data regime anyway)
+            data_chunk=data_chunk,
+            step_scale=step_scale,
+            per_chain_adapt=n_adapters > 1)
+
+    step_scale = None  # (D,) numpy once estimated/restored
+    run_chunk = _build_runner()
 
     carry = init_multichain_state(flat.theta, flat.eta, key,
                                   config.hyper_step_size, n_chains,
@@ -376,7 +414,8 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
     # so the fingerprint is persisted and validated on load
     fingerprint = _run_fingerprint(config, model, likelihood, flat,
                                    n_chains, sampling_step, dtype,
-                                   n_adapters=n_adapters)
+                                   n_adapters=n_adapters,
+                                   precondition=precond_at)
 
     # -- resume from a checkpoint if one exists ---------------------------------
     resumed = checkpoint.load_resume(checkpoint_dir) if checkpoint_dir \
@@ -418,6 +457,10 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
                 f"count (or delete the checkpoint to start fresh)")
         for a, st in zip(adapters, saved_adapters):
             a.load_state_dict(st)
+        saved_scale = host.get("step_scale")
+        if saved_scale is not None:
+            step_scale = np.asarray(saved_scale, np.float32)
+            run_chunk = _build_runner(step_scale)
         iter_ = int(host["iter"])
         step_sizes = np.atleast_1d(
             np.asarray(host["step_size"], np.float64))
@@ -486,10 +529,27 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
                              else [int(v) for v in leapfrogs]),
                 "writer": (writer.state_dict() if writer is not None
                            else None),
+                "step_scale": (None if step_scale is None
+                               else [float(s) for s in step_scale]),
                 "fingerprint": fingerprint})
 
     chunks_done = 0
     while iter_ < epochs:
+        if (precond_at is not None and step_scale is None
+                and iter_ >= precond_at):
+            # estimate per-coordinate scales from the fleet's spread and
+            # rebuild the runner with the preconditioner folded in (one
+            # extra compile, once per run)
+            theta_now = np.asarray(carry.theta, np.float64)  # (C, D)
+            sd = theta_now.std(axis=0)
+            pos = sd[sd > 0]
+            med = float(np.median(pos)) if pos.size else 1.0
+            scale = np.where(sd > 0, sd / max(med, 1e-12), 1.0)
+            step_scale = np.clip(scale, 0.2, 5.0).astype(np.float32)
+            run_chunk = _build_runner(step_scale)
+            if verbose:
+                print(f"preconditioner on at epoch {iter_}: scale range "
+                      f"[{step_scale.min():.3f}, {step_scale.max():.3f}]")
         chunk = min(min(a.epochs_until_next_change() for a in adapters),
                     epochs - iter_)
         if tracer is not None:
@@ -652,7 +712,7 @@ def _lik_hypers_from_eta(flat, eta_row):
 
 def _run_fingerprint(config: MCMCConfig, model, likelihood, flat,
                      n_chains: int, sampling_step: int, dtype,
-                     n_adapters: int = 1) -> dict:
+                     n_adapters: int = 1, precondition=None) -> dict:
     """JSON-safe identity of a sampling run, for resume validation."""
     layers = []
     for layer in model.layers:
@@ -661,6 +721,8 @@ def _run_fingerprint(config: MCMCConfig, model, likelihood, flat,
             desc += f"({layer.in_dim},{layer.out_dim})"
         layers.append(desc)
     fp = {} if n_adapters == 1 else {"n_adapters": int(n_adapters)}
+    if precondition is not None:
+        fp = fp | {"precondition": int(precondition)}
     return fp | {
         "config": dataclasses.asdict(config),
         "layers": layers,

@@ -71,7 +71,8 @@ def make_epoch_fn(model: Sequential, likelihood: Likelihood, x, y,
                   batched_main_vg: Optional[Callable] = None,
                   batched_main_traj: Optional[Callable] = None,
                   eta_dim: Optional[int] = None,
-                  data_chunk: Optional[int] = None):
+                  data_chunk: Optional[int] = None,
+                  step_scale=None):
     """Builds ``epoch_fn(carry, step_size, leapfrog) -> (carry, trace_row)``
     over a chain-batched carry.
 
@@ -114,6 +115,8 @@ def make_epoch_fn(model: Sequential, likelihood: Likelihood, x, y,
         eta = carry.eta
 
         # -- main block: HMC over params given current hypers ----------------
+        # (the trajectory kernel takes a scalar eps in SMEM; the driver
+        # never combines it with a per-coordinate step_scale)
         if batched_main_traj is not None:
             # same per-chain PRNG substreams as hmc_step_batched
             km2 = jax.vmap(lambda k: jax.random.split(k))(k_main)
@@ -139,7 +142,7 @@ def make_epoch_fn(model: Sequential, likelihood: Likelihood, x, y,
             main = hmc_step_batched(
                 k_main, carry.theta,
                 lambda ths: main_vg_b(ths, eta),
-                step_size, leapfrog)
+                step_size, leapfrog, step_scale=step_scale)
         theta = main.position
 
         # SJD scaled by L^(-1/2) (reference paramAdapter.py:219-222)
@@ -198,7 +201,8 @@ def make_tree_epoch_fn(model: Sequential, likelihood: Likelihood, x, y,
                        theta_dim: int = None,
                        axis_name: Optional[str] = None,
                        eta_dim: Optional[int] = None,
-                       data_chunk: Optional[int] = None):
+                       data_chunk: Optional[int] = None,
+                       step_scale=None):
     """Tree-state epoch step for wide models.
 
     The main-chain state lives as a stacked params pytree (leaves (C, ...))
@@ -216,6 +220,15 @@ def make_tree_epoch_fn(model: Sequential, likelihood: Likelihood, x, y,
     from tensorbnn_tpu.sampler.potential import _chunked_loglik
 
     chunked = _chunked_loglik(model, likelihood, x, y, data_chunk)
+
+    # diagonal-metric preconditioner: per-coordinate step multipliers as a
+    # params-shaped tree (leaves without the chain axis — broadcast over
+    # chains inside the integrator)
+    scale_tree = None
+    if step_scale is not None:
+        if unravel_theta is None:
+            raise ValueError("step_scale needs unravel_theta")
+        scale_tree = unravel_theta(jnp.asarray(step_scale))
 
     def loglik(params, eta):
         _, lik_hypers = unravel_eta(eta)
@@ -284,7 +297,8 @@ def make_tree_epoch_fn(model: Sequential, likelihood: Likelihood, x, y,
         main = hmc_step_tree(k_main, carry.theta,
                              lambda p: main_vg(p, eta),
                              step_size, leapfrog,
-                             momentum_fn=momentum_fn)
+                             momentum_fn=momentum_fn,
+                             scale_tree=scale_tree)
         theta = main.position
 
         # SJD scaled by L^(-1/2), tree-reduced per chain

@@ -173,7 +173,8 @@ def leapfrog_batched(vg_fn: Callable, positions: jax.Array,
 
 def hmc_step_batched(keys, positions: jax.Array, vg_fn: Callable,
                      step_size, n_leapfrog,
-                     current_log_prob=None) -> HMCResult:
+                     current_log_prob=None,
+                     step_scale=None) -> HMCResult:
     """One HMC transition over a (C, D) chain batch with per-chain keys.
 
     All per-chain quantities (momenta, energies, MH coins, accepts) are
@@ -181,9 +182,18 @@ def hmc_step_batched(keys, positions: jax.Array, vg_fn: Callable,
     exactly (same per-chain PRNG substreams) while compiling to plain
     batched ops. ``step_size`` may be a scalar, ``(C,)`` or ``(C, 1)``;
     ``n_leapfrog`` a scalar or ``(C,)`` (see ``leapfrog_batched``).
+
+    ``step_scale`` (optional, ``(D,)``): per-coordinate step multiplier —
+    the diagonal-metric preconditioner. Leapfrog with
+    ``eps_i = eps * s_i`` under unit-normal momenta is exactly HMC with
+    diagonal mass ``m_i = 1/s_i^2`` (Neal 2011 §4.1 / Stan's diag_e
+    metric): momenta and kinetic energy stay standard normal, so the MH
+    correction is unchanged and detailed balance holds.
     """
     if jnp.ndim(step_size) == 1:
         step_size = step_size[:, None]
+    if step_scale is not None:
+        step_size = step_size * jnp.reshape(step_scale, (1, -1))
     keys2 = jax.vmap(lambda k: jax.random.split(k))(keys)   # (C, 2)
     key_mom, key_mh = keys2[:, 0], keys2[:, 1]
     momenta = jax.vmap(
@@ -239,26 +249,34 @@ def _tree_sum_sq(tree):
     return total
 
 
-def _tree_axpy(a, x_tree, y_tree):
-    """y + a * x, leafwise (a scalar or (C,) broadcast over leaf dims)."""
-    def upd(y, x):
+def _tree_axpy(a, x_tree, y_tree, scale_tree=None):
+    """y + a * x, leafwise (a scalar or (C,) broadcast over leaf dims).
+
+    ``scale_tree`` optionally multiplies each leaf elementwise (leaves
+    shaped like the state without the chain axis — the per-coordinate
+    step preconditioner)."""
+    def upd(y, x, s=None):
         scale = a
         if jnp.ndim(a) == 1:
             scale = a.reshape((-1,) + (1,) * (y.ndim - 1))
-        return y + scale * x
-    return jax.tree.map(upd, y_tree, x_tree)
+        return y + scale * x if s is None else y + scale * (s * x)
+    if scale_tree is None:
+        return jax.tree.map(upd, y_tree, x_tree)
+    return jax.tree.map(upd, y_tree, x_tree, scale_tree)
 
 
 def leapfrog_tree(vg_fn: Callable, positions, momenta, step_size,
-                  n_steps) -> tuple:
+                  n_steps, scale_tree=None) -> tuple:
     """Tree-state chain-batched leapfrog. ``vg_fn(tree) -> ((C,), tree)``.
 
     ``step_size`` may be a scalar or a per-chain ``(C,)`` vector;
     ``n_steps`` likewise (per-chain counts mask-freeze finished chains,
-    as in ``leapfrog_batched``).
+    as in ``leapfrog_batched``). ``scale_tree`` is the per-coordinate
+    diagonal-metric preconditioner (see ``hmc_step_batched``): every
+    drift and kick uses ``eps * s_i``; momenta stay unit-normal.
     """
     lp0, g0 = vg_fn(positions)
-    momenta = _tree_axpy(0.5 * step_size, g0, momenta)
+    momenta = _tree_axpy(0.5 * step_size, g0, momenta, scale_tree)
 
     if jnp.ndim(n_steps) == 0:
         def cond(carry):
@@ -267,9 +285,9 @@ def leapfrog_tree(vg_fn: Callable, positions, momenta, step_size,
 
         def body(carry):
             i, q, v, _lp, _g = carry
-            q = _tree_axpy(step_size, v, q)
+            q = _tree_axpy(step_size, v, q, scale_tree)
             lp, g = vg_fn(q)
-            v = _tree_axpy(step_size, g, v)
+            v = _tree_axpy(step_size, g, v, scale_tree)
             return (i + 1, q, v, lp, g)
     else:
         n_vec = jnp.reshape(n_steps, (-1,))
@@ -283,27 +301,28 @@ def leapfrog_tree(vg_fn: Callable, positions, momenta, step_size,
         def body(carry):
             i, q, v, _lp, _g = carry
             eff = jnp.where(i < n_vec, eps_vec, 0.0)
-            q = _tree_axpy(eff, v, q)
+            q = _tree_axpy(eff, v, q, scale_tree)
             lp, g = vg_fn(q)
-            v = _tree_axpy(eff, g, v)
+            v = _tree_axpy(eff, g, v, scale_tree)
             return (i + 1, q, v, lp, g)
 
     _, q, v, lp, g = lax.while_loop(
         cond, body, (jnp.asarray(0, jnp.int32), positions, momenta,
                      lp0, g0))
-    v = _tree_axpy(-0.5 * step_size, g, v)
+    v = _tree_axpy(-0.5 * step_size, g, v, scale_tree)
     return q, v, lp, g
 
 
 def hmc_step_tree(keys, positions, vg_fn: Callable, step_size,
-                  n_leapfrog, momentum_fn: Optional[Callable] = None
-                  ) -> HMCResult:
+                  n_leapfrog, momentum_fn: Optional[Callable] = None,
+                  scale_tree=None) -> HMCResult:
     """One HMC transition over a stacked-pytree chain batch.
 
     ``momentum_fn(chain_keys) -> tree`` optionally overrides momentum
     sampling — the tree chunk runner passes a flat-draw-then-unravel
     sampler so tree- and flat-layout runs consume identical PRNG streams
-    (bitwise-comparable trajectories)."""
+    (bitwise-comparable trajectories). ``scale_tree`` is the diagonal-
+    metric preconditioner (see ``leapfrog_tree``)."""
     keys2 = jax.vmap(lambda k: jax.random.split(k))(keys)
     key_mom, key_mh = keys2[:, 0], keys2[:, 1]
     momenta = (momentum_fn(key_mom) if momentum_fn is not None
@@ -312,7 +331,8 @@ def hmc_step_tree(keys, positions, vg_fn: Callable, step_size,
     current_log_prob, _ = vg_fn(positions)
     kinetic0 = 0.5 * _tree_sum_sq(momenta)
     q_new, v_new, lp_new, _ = leapfrog_tree(
-        vg_fn, positions, momenta, step_size, n_leapfrog)
+        vg_fn, positions, momenta, step_size, n_leapfrog,
+        scale_tree=scale_tree)
     kinetic1 = 0.5 * _tree_sum_sq(v_new)
 
     log_accept_ratio = (lp_new - current_log_prob) + (kinetic0 - kinetic1)
