@@ -357,7 +357,7 @@ def bench_surrogate():
     }))
 
 
-def bench_surrogate_quality(n_chains: int = 32):
+def bench_surrogate_quality(n_chains: int = 32, precondition: bool = False):
     """The surrogate config as a *posterior*, not just a throughput number
     (round-1 PERF_NOTES gap 4): run the full adaptive driver with a step
     grid at the ~1e-7 scale this 1M-point target needs, assert acceptance
@@ -433,7 +433,8 @@ def bench_surrogate_quality(n_chains: int = 32):
     t0 = time.perf_counter()
     res = net.train(epochs, sampling_step, GaussianLikelihood(sd=0.1),
                     n_chains=n_chains, chain_jitter=0.0,
-                    data_chunk=125_000, verbose=False)
+                    data_chunk=125_000, precondition=precondition,
+                    verbose=False)
     dt = time.perf_counter() - t0
 
     acc = float(res.main_accept[burnin:].mean())
@@ -455,7 +456,9 @@ def bench_surrogate_quality(n_chains: int = 32):
         f"final eps {res.final_step_size:.2e}, L {res.final_leapfrog}")
     print(json.dumps({
         "metric": f"surrogate ESS/sec (1M-point likelihood, adaptive "
-                  f"two-block driver, {n_chains} chains, single chip)",
+                  f"two-block driver, {n_chains} chains"
+                  f"{', diag-metric preconditioned' if precondition else ''}"
+                  f", single chip)",
         "value": round(ess / dt, 4),
         "unit": "effective samples/sec",
         "mean_accept_post_burnin": round(acc, 4),
@@ -710,6 +713,8 @@ def main():
         bench_surrogate()
     if which in ("surrogate_quality", "all"):
         bench_surrogate_quality()
+    if which == "surrogate_quality_precond":
+        bench_surrogate_quality(precondition=True)
     if which in ("classification", "all"):
         bench_classification()
     if which in ("multiclass", "all"):
