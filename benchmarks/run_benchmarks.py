@@ -421,9 +421,14 @@ def bench_surrogate_quality(n_chains: int = 32, precondition: bool = False):
     # optimum on this target sits at eps ~ 2e-6 with acceptance ~ 0.05
     # (measured) — rare huge jumps. Capping the grid pins the adapter in
     # the calibrated-acceptance regime the bench asserts on (the
-    # reference's users tune these grids the same way)
+    # reference's users tune these grids the same way). With the
+    # diagonal metric the stiff directions shrink out of the stability
+    # limit, so the grid ceiling rises ~20x (and estimation happens at
+    # epoch 60, right after the random phase, so the capped grid is
+    # explored preconditioned)
+    eps_max = 2e-5 if precondition else 1e-6
     net.setup_mcmc(step_size_start=5e-7, step_size_min=1e-8,
-                   step_size_max=1e-6, step_size_options=40,
+                   step_size_max=eps_max, step_size_options=40,
                    leapfrog_start=10, leapfrog_min=5, leapfrog_max=15,
                    leapfrog_increment=5, hyper_step_size=1e-6,
                    hyper_leapfrog=5, burnin=burnin, averaging_steps=10,
@@ -433,7 +438,8 @@ def bench_surrogate_quality(n_chains: int = 32, precondition: bool = False):
     t0 = time.perf_counter()
     res = net.train(epochs, sampling_step, GaussianLikelihood(sd=0.1),
                     n_chains=n_chains, chain_jitter=0.0,
-                    data_chunk=125_000, precondition=precondition,
+                    data_chunk=125_000,
+                    precondition=60 if precondition else False,
                     verbose=False)
     dt = time.perf_counter() - t0
 
