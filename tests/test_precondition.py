@@ -196,3 +196,24 @@ def test_precondition_resume_roundtrip(tmp_path):
     assert res.theta_samples.shape == go_full.theta_samples.shape
     np.testing.assert_allclose(res.theta_samples, full.theta_samples,
                                rtol=2e-4, atol=1e-5)
+
+
+def test_precondition_with_adapter_groups():
+    """Per-chain (C,) step sizes (n_adapters > 1) compose with the (D,)
+    preconditioner: the flat path broadcasts (C,1)x(1,D), the masked
+    wave-front integrator included."""
+    net, lik = _make_net(seed=9)
+    res = net.train(160, 4, lik, n_chains=8, n_adapters=2,
+                    chain_jitter=0.05, precondition=True,
+                    use_fused=False, verbose=False)
+    assert np.isfinite(res.theta_samples).all()
+    assert 0.05 < res.main_accept[40:].mean() <= 1.0
+
+
+def test_precondition_with_adapter_groups_tree_layout():
+    net, lik = _make_net(seed=10)
+    res = net.train(120, 4, lik, n_chains=8, n_adapters=2,
+                    chain_jitter=0.05, precondition=True,
+                    use_fused=False, state_layout="tree", verbose=False)
+    assert np.isfinite(res.theta_samples).all()
+    assert 0.05 < res.main_accept[40:].mean() <= 1.0
