@@ -7,6 +7,14 @@ over the ``data`` axis and the (value, grad) psum rides the ICI.
 
 Run single-chip: python examples/surrogate_regression.py --smoke
 Multi-chip:      pass --data-devices N (requires N devices).
+
+Single-chip quality configuration (the measured best for the full
+1M-point run, benchmarks/PERF_NOTES.md round 3): ``--chains 32
+--data-chunk 125000 --precondition`` — a 32-chain fleet whose activation
+HBM is bounded by exact chunked gradient accumulation, with the
+diagonal-metric preconditioner handling the posterior's anisotropy
+(0.88 effective samples/sec at calibrated acceptance vs 0.06-0.10 for a
+single un-chunked chain).
 """
 
 import argparse
@@ -32,6 +40,14 @@ def main():
     ap.add_argument("--smoke", action="store_true")
     ap.add_argument("--points", type=int, default=1_000_000)
     ap.add_argument("--data-devices", type=int, default=1)
+    ap.add_argument("--chains", type=int, default=1,
+                    help="vmapped chains on one chip (try 32)")
+    ap.add_argument("--data-chunk", type=int, default=0,
+                    help="likelihood rows per chunk (exact accumulation; "
+                         "bounds activation HBM for wide fleets)")
+    ap.add_argument("--precondition", action="store_true",
+                    help="diagonal-metric step preconditioner "
+                         "(needs --chains >= 8)")
     args = ap.parse_args()
 
     import jax
@@ -45,7 +61,7 @@ def main():
     from tensorbnn_tpu.parallel.mesh import make_mesh
 
     start = time.time()
-    n = args.points if not args.smoke else 100_000
+    n = args.points if not args.smoke else min(args.points, 100_000)
     d_in, width = 8, 64
     rng = np.random.default_rng(0)
     x = rng.normal(size=(n, d_in)).astype(np.float32)
@@ -54,7 +70,7 @@ def main():
     y_val = detector_response(x_val, rng)
 
     mesh = None
-    n_chains = 1
+    n_chains = args.chains
     if args.data_devices > 1:
         n_chain_dev = len(jax.devices()) // args.data_devices
         mesh = make_mesh(n_chain_devices=n_chain_dev,
@@ -76,8 +92,13 @@ def main():
                    random_steps=3)
     res = net.train(epochs, 5, GaussianLikelihood(sd=0.05),
                     metric_list=[SquaredError()], mesh=mesh,
-                    n_chains=n_chains, chain_jitter=0.01 if n_chains > 1
-                    else 0.0, display_skip=max(epochs // 5, 1))
+                    n_chains=n_chains,
+                    # positional jitter collapses acceptance on sharp
+                    # big-data posteriors; momenta decorrelate the fleet
+                    chain_jitter=0.0,
+                    data_chunk=args.data_chunk or None,
+                    precondition=args.precondition,
+                    display_skip=max(epochs // 5, 1))
 
     print(f"\n{res.theta_samples.shape[0]} samples, "
           f"main accept {res.main_accept.mean():.3f}, "
