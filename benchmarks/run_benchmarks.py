@@ -511,10 +511,12 @@ def ess_run(n_chains: int = 64, n_adapters: int = 1,
                    leapfrog_increment=5, hyper_step_size=1e-3,
                    hyper_leapfrog=30, burnin=burnin, averaging_steps=10,
                    random_steps=5)
+    from tensorbnn_tpu.utils.tracing import RunTracer
+    tracer = RunTracer()
     t0 = time.perf_counter()
     res = net.train(epochs, 2, FixedGaussianLikelihood(sd=0.1),
                     n_chains=n_chains, n_adapters=n_adapters,
-                    chain_jitter=0.05, verbose=False)
+                    chain_jitter=0.05, tracer=tracer, verbose=False)
     dt = time.perf_counter() - t0
 
     # ESS of a predictive summary (mean prediction at x=0.5) per chain
@@ -545,6 +547,9 @@ def ess_run(n_chains: int = 64, n_adapters: int = 1,
         "hyper_accept_post_burnin": round(float(
             res.hyper_accept[burnin:].mean()), 4),
         "wall_seconds": round(dt, 1),
+        # mean executed L / straggler-paid L (1.0 when G=1): the grouped-
+        # adaptation overhead the sweep's docstring promises
+        "straggler_efficiency": round(tracer.straggler_efficiency, 4),
         "final_leapfrog": int(res.final_leapfrog),
         "final_step_size": float(res.final_step_size),
     }
@@ -586,7 +591,8 @@ def bench_ess_group_sweep(n_chains: int = 512,
             f"-> {r['ess_per_sec']}/s, accept {r['accept_post_burnin']}")
         rows.append({"n_adapters": g, **{k: r[k] for k in (
             "ess_per_sec", "total_ess", "min_param_ess",
-            "accept_post_burnin", "wall_seconds")}})
+            "accept_post_burnin", "wall_seconds",
+            "straggler_efficiency")}})
     best = max(rows, key=lambda r: r["ess_per_sec"])
     print(json.dumps({
         "metric": f"adapter-group sweep ESS/sec ({n_chains} chains, "

@@ -79,11 +79,31 @@ def load_samples(path: str) -> Tuple[tuple, tuple, dict]:
 
 def save_resume(path: str, *, carry_arrays: Dict[str, np.ndarray],
                 host_state: dict) -> None:
-    """Saves the device carry plus host-side JSON state for resume."""
+    """Saves the device carry plus host-side JSON state for resume.
+
+    Both files go through tmp-write + atomic rename, and they carry a
+    shared pairing token: a crash inside this function can therefore
+    never produce a *silently* torn checkpoint (new carry paired with
+    old host state would re-execute epochs from the wrong device state)
+    — at worst the tokens mismatch and ``load_resume`` raises a clear
+    error instead of resuming wrong.
+    """
     os.makedirs(path, exist_ok=True)
-    np.savez(os.path.join(path, "resume.npz"), **carry_arrays)
-    with open(os.path.join(path, "resume.json"), "w") as f:
-        json.dump(host_state, f)
+    token = os.urandom(8).hex()
+    npz = os.path.join(path, "resume.npz")
+    js = os.path.join(path, "resume.json")
+    # np.savez appends ".npz" when the filename lacks it — give the tmp
+    # file the suffix up front so the rename source is deterministic
+    tmp_npz = npz + ".tmp.npz"
+    np.savez(tmp_npz, __pair_token__=np.frombuffer(
+        token.encode(), dtype=np.uint8).copy(), **carry_arrays)
+    os.replace(tmp_npz, npz)
+    tmp_js = js + ".tmp"
+    with open(tmp_js, "w") as f:
+        json.dump({"__pair_token__": token, **host_state}, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp_js, js)
 
 
 def save_sample_segment(path: str, idx: int, theta: np.ndarray,
@@ -115,7 +135,13 @@ def load_sample_segments(path: str, n_segments: int):
 
 
 def load_resume(path: str) -> Optional[Tuple[Dict[str, np.ndarray], dict]]:
-    """Returns ``(carry_arrays, host_state)`` or None if absent."""
+    """Returns ``(carry_arrays, host_state)`` or None if absent.
+
+    Raises if the npz/json pairing tokens disagree (a crash landed
+    between the two renames in :func:`save_resume`) — resuming from the
+    mixed pair would silently produce a wrong trajectory. Legacy
+    checkpoints without tokens load as before.
+    """
     npz = os.path.join(path, "resume.npz")
     js = os.path.join(path, "resume.json")
     if not (os.path.exists(npz) and os.path.exists(js)):
@@ -124,4 +150,16 @@ def load_resume(path: str) -> Optional[Tuple[Dict[str, np.ndarray], dict]]:
         arrays = {k: data[k] for k in data.files}
     with open(js) as f:
         host_state = json.load(f)
+    tok_npz = arrays.pop("__pair_token__", None)
+    tok_js = host_state.pop("__pair_token__", None)
+    if tok_npz is not None or tok_js is not None:
+        tok_npz = (bytes(np.asarray(tok_npz, np.uint8)).decode()
+                   if tok_npz is not None else None)
+        if tok_npz != tok_js:
+            raise ValueError(
+                f"checkpoint in {path} is torn: resume.npz and "
+                f"resume.json were written by different checkpoint "
+                f"saves (a crash landed between them); delete the "
+                f"checkpoint directory to start fresh — resuming the "
+                f"mixed pair would produce a wrong trajectory")
     return arrays, host_state

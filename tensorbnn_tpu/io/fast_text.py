@@ -51,6 +51,19 @@ def _load() -> Optional[ctypes.CDLL]:
             lib = ctypes.CDLL(_SO)
         except OSError:
             return None
+        if not hasattr(lib, "tbnn_format_floats"):
+            # stale .so from before the formatter existed (e.g. source
+            # mtimes equal after a copy, so the rebuild check skipped):
+            # rebuild once; if the symbol is still missing, fall back to
+            # pure Python rather than AttributeError-ing callers
+            if not _build():
+                return None
+            try:
+                lib = ctypes.CDLL(_SO)
+            except OSError:
+                return None
+            if not hasattr(lib, "tbnn_format_floats"):
+                return None
         lib.tbnn_parse_floats.restype = ctypes.c_long
         lib.tbnn_parse_floats.argtypes = [
             ctypes.c_char_p,

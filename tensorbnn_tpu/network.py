@@ -80,11 +80,14 @@ class Network:
                     f"{name} contains non-finite values "
                     f"({bad} of {size})")
         for name, arr in (("train_x", train_x), ("validate_x", validate_x)):
-            a = _np.asarray(arr)
-            if a.size != len(arr) * input_dims:
+            # shape-only check: np.asarray on a device array would pull
+            # the whole dataset through the host tunnel
+            size = (int(_np.prod(arr.shape)) if hasattr(arr, "shape")
+                    else _np.asarray(arr).size)
+            if size != len(arr) * input_dims:
                 raise ValueError(
                     f"{name} width does not match input_dims="
-                    f"{input_dims}: {a.size} values for {len(arr)} rows "
+                    f"{input_dims}: {size} values for {len(arr)} rows "
                     f"(expected {len(arr) * input_dims})")
         self.train_x = jnp.asarray(train_x, self.dtype).reshape(
             len(train_x), input_dims)

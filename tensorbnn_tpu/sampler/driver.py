@@ -264,7 +264,9 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
     # sampler/hmc.py). Needs a fleet to estimate from, and bypasses the
     # scalar-eps Pallas kernels.
     precond_at = None
-    if precondition:
+    if precondition is not False and precondition is not None:
+        # (explicit False/None test: precondition=0 is a valid epoch
+        # threshold meaning "estimate at the first chunk boundary")
         if n_chains < 8:
             raise ValueError(
                 f"precondition needs n_chains >= 8 to estimate "
@@ -469,13 +471,17 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
         if n_segments:
             theta_samples, eta_samples = checkpoint.load_sample_segments(
                 checkpoint_dir, n_segments)
+            samples_checkpointed = len(theta_samples)
         else:
-            # legacy checkpoints carried the whole history in resume.npz
+            # legacy checkpoints carried the whole history in resume.npz;
+            # leave samples_checkpointed at 0 so the FIRST new-style
+            # checkpoint persists that entire history into segment 0 —
+            # otherwise the segment would hold only post-resume samples
+            # and a later resume would silently drop the legacy prefix
             theta_samples = [a for a in arrays.get(
                 "theta_samples", np.zeros((0, 1, 1)))]
             eta_samples = [a for a in arrays.get(
                 "eta_samples", np.zeros((0, 1, 1)))]
-        samples_checkpointed = len(theta_samples)
         if streaming:
             writer = reference_format.RunWriter(
                 folder_name, model, likelihood, networks_per_file,
@@ -577,7 +583,9 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
             # executed kicks per chain: in grouped mode each chain runs its
             # group's L (mask-frozen while the straggler group finishes), so
             # the chunk's work is the group-size-weighted mean L, not max L
-            tracer.end_chunk(chunk, float(leapfrogs.mean()), n_chains)
+            # (the max is recorded separately as the straggler-paid L)
+            tracer.end_chunk(chunk, float(leapfrogs.mean()), n_chains,
+                             float(leapfrogs.max()))
         m_acc = np.asarray(trace.main_accept)  # (chunk, C)
         h_acc = np.asarray(trace.hyper_accept)
         sjd_mean = sjd.mean(axis=1)

@@ -26,6 +26,13 @@ class ChunkRecord:
     leapfrog: float
     n_chains: int
     seconds: float
+    #: the straggler group's L — what every chain *pays in wall clock*
+    #: each epoch (equals ``leapfrog`` for shared-adapter runs)
+    max_leapfrog: float = None
+
+    def __post_init__(self):
+        if self.max_leapfrog is None:
+            self.max_leapfrog = self.leapfrog
 
 
 class RunTracer:
@@ -38,11 +45,13 @@ class RunTracer:
     def start_chunk(self):
         self._t0 = time.perf_counter()
 
-    def end_chunk(self, epochs: int, leapfrog: float, n_chains: int):
+    def end_chunk(self, epochs: int, leapfrog: float, n_chains: int,
+                  max_leapfrog: float = None):
         if self._t0 is None:
             return
         self.chunks.append(ChunkRecord(
-            epochs, leapfrog, n_chains, time.perf_counter() - self._t0))
+            epochs, leapfrog, n_chains, time.perf_counter() - self._t0,
+            max_leapfrog))
         self._t0 = None
 
     @property
@@ -74,6 +83,16 @@ class RunTracer:
         t = self.total_seconds
         return ess / t if t > 0 else float("nan")
 
+    @property
+    def straggler_efficiency(self) -> float:
+        """Mean executed L / straggler-paid L over the run (1.0 for
+        shared-adapter runs; below 1, the fraction of the wave-front's
+        wall the average chain actually kicks through — the grouped-
+        adaptation straggler cost)."""
+        paid = sum(c.epochs * c.max_leapfrog for c in self.chunks)
+        done = sum(c.epochs * c.leapfrog for c in self.chunks)
+        return done / paid if paid > 0 else float("nan")
+
     def summary(self) -> dict:
         return {
             "chunks": len(self.chunks),
@@ -81,6 +100,7 @@ class RunTracer:
             "total_seconds": round(self.total_seconds, 4),
             "leapfrog_steps": self.total_leapfrog_steps,
             "leapfrog_steps_per_sec": round(self.leapfrog_steps_per_sec, 1),
+            "straggler_efficiency": round(self.straggler_efficiency, 4),
         }
 
 

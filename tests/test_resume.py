@@ -299,3 +299,85 @@ def test_checkpoint_writes_are_incremental(tmp_path):
     for name in segs[:n_segments]:
         with np.load(os.path.join(ckpt, name)) as data:
             assert data["theta"].shape[0] <= max_per_cycle
+
+
+def test_torn_checkpoint_detected(tmp_path):
+    """resume.npz and resume.json from different saves (crash between the
+    two renames) must raise, not silently resume a wrong trajectory."""
+    import os
+
+    import pytest
+
+    from tensorbnn_tpu.io import checkpoint
+
+    d = str(tmp_path / "ckpt")
+    checkpoint.save_resume(d, carry_arrays={"x": np.zeros(3)},
+                           host_state={"iter": 1})
+    # keep save 1's json, overwrite with save 2's npz (the torn state)
+    js = os.path.join(d, "resume.json")
+    os.rename(js, js + ".keep")
+    checkpoint.save_resume(d, carry_arrays={"x": np.ones(3)},
+                           host_state={"iter": 2})
+    os.replace(js + ".keep", js)
+
+    with pytest.raises(ValueError, match="torn"):
+        checkpoint.load_resume(d)
+
+
+def test_legacy_checkpoint_upgrades_without_losing_history(tmp_path):
+    """A pre-segment checkpoint (whole history inside resume.npz) must
+    carry its history into the first segmented checkpoint on resume —
+    not just the post-resume samples."""
+    import os
+
+    import jax
+
+    from tensorbnn_tpu.io import checkpoint
+    from tensorbnn_tpu.sampler.driver import sample_posterior
+
+    lik = FixedGaussianLikelihood(sd=0.1)
+    ckpt = str(tmp_path / "ckpt")
+    net = _make_net()
+    params, hypers = net.init_state()
+    key = jax.random.split(net.key)[1]
+    common = dict(config=net.config, params=params, hypers=hypers, key=key,
+                  sampling_step=5, adjust_hypers=True, verbose=False,
+                  checkpoint_dir=ckpt, checkpoint_every=1)
+    sample_posterior(net.model, lik, net.train_x, net.train_y,
+                     epochs=45, **common)
+
+    # rewrite the checkpoint in the legacy layout: history in resume.npz,
+    # no segments referenced
+    arrays, host = checkpoint.load_resume(ckpt)
+    import json as _json
+    with open(os.path.join(ckpt, "resume.json")) as f:
+        host_raw = _json.load(f)
+    n_seg = host_raw.pop("n_segments")
+    thetas, etas = checkpoint.load_sample_segments(ckpt, n_seg)
+    arrays["theta_samples"] = np.stack(thetas)
+    arrays["eta_samples"] = np.stack(etas)
+    host_raw.pop("__pair_token__", None)
+    checkpoint.save_resume(ckpt, carry_arrays=arrays, host_state=host_raw)
+    for i in range(n_seg):
+        os.remove(os.path.join(ckpt, f"resume_seg{i}.npz"))
+
+    # resume from the legacy checkpoint and finish the run
+    res = sample_posterior(net.model, lik, net.train_x, net.train_y,
+                           epochs=80, **common)
+    # uninterrupted reference run (fresh PRNG path identical to above)
+    net2 = _make_net()
+    p2, h2 = net2.init_state()
+    key2 = jax.random.split(net2.key)[1]
+    full = sample_posterior(net2.model, lik, net2.train_x, net2.train_y,
+                            epochs=80, config=net2.config, params=p2,
+                            hypers=h2, key=key2, sampling_step=5,
+                            adjust_hypers=True, verbose=False)
+    assert res.theta_samples.shape == full.theta_samples.shape
+    np.testing.assert_allclose(res.theta_samples, full.theta_samples,
+                               rtol=2e-4, atol=1e-5)
+    # and the post-upgrade checkpoint's segments reproduce the FULL
+    # history (the legacy prefix was not dropped)
+    _, host2 = checkpoint.load_resume(ckpt)
+    t2, _ = checkpoint.load_sample_segments(ckpt, host2["n_segments"])
+    np.testing.assert_allclose(np.stack(t2), full.theta_samples,
+                               rtol=2e-4, atol=1e-5)
