@@ -145,11 +145,18 @@ def main():
     sys.path.insert(0, os.path.join(os.path.dirname(
         os.path.abspath(__file__)), "benchmarks"))
     from run_benchmarks import ess_run
-    q = ess_run(n_chains=512, n_adapters=4)
-    log(f"quality: {q['total_ess']} effective samples "
-        f"({q['ess_per_sec']}/sec) in {q['wall_seconds']}s, "
-        f"accept {q['accept_post_burnin']}, "
-        f"min-param ESS {q['min_param_ess']}")
+    try:
+        q = ess_run(n_chains=512, n_adapters=4)
+        log(f"quality: {q['total_ess']} effective samples "
+            f"({q['ess_per_sec']}/sec) in {q['wall_seconds']}s, "
+            f"accept {q['accept_post_burnin']}, "
+            f"min-param ESS {q['min_param_ess']}")
+    except Exception as e:  # noqa: BLE001 — a transient tunnel/backend
+        # failure in the 2-minute quality pass must not cost the whole
+        # artifact; the steps/sec headline still lands, with the error
+        # recorded for the reader
+        log(f"quality pass failed: {type(e).__name__}: {e}")
+        q = {"error": f"{type(e).__name__}: {e}"}
 
     print(json.dumps({
         "metric": "main-chain leapfrog steps/sec/chip (3x10-tanh MLP, "
