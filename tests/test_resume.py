@@ -381,3 +381,21 @@ def test_legacy_checkpoint_upgrades_without_losing_history(tmp_path):
     t2, _ = checkpoint.load_sample_segments(ckpt, host2["n_segments"])
     np.testing.assert_allclose(np.stack(t2), full.theta_samples,
                                rtol=2e-4, atol=1e-5)
+
+
+def test_legacy_tokenless_checkpoint_loads(tmp_path):
+    """Checkpoints written before the pairing token existed (no
+    __pair_token__ in either file) must load unchanged."""
+    import json as _json
+    import os
+
+    from tensorbnn_tpu.io import checkpoint
+
+    d = str(tmp_path / "ckpt")
+    os.makedirs(d)
+    np.savez(os.path.join(d, "resume.npz"), x=np.arange(3.0))
+    with open(os.path.join(d, "resume.json"), "w") as f:
+        _json.dump({"iter": 7}, f)
+    arrays, host = checkpoint.load_resume(d)
+    assert host == {"iter": 7}
+    np.testing.assert_array_equal(arrays["x"], np.arange(3.0))
