@@ -149,6 +149,8 @@ class Network:
               use_fused: str = "auto", state_layout: str = "auto",
               data_chunk: Optional[int] = None,
               precondition=False,
+              precondition_clip=(1e-2, 1e2),
+              precondition_windows: int = 1,
               checkpoint_dir=None,
               checkpoint_every: int = 0, tracer=None,
               keep_samples="auto",
@@ -186,6 +188,8 @@ class Network:
             chain_jitter=chain_jitter, mesh=mesh,
             use_fused=use_fused, state_layout=state_layout,
             data_chunk=data_chunk, precondition=precondition,
+            precondition_clip=precondition_clip,
+            precondition_windows=precondition_windows,
             checkpoint_dir=checkpoint_dir,
             checkpoint_every=checkpoint_every, tracer=tracer,
             keep_samples=keep_samples, verbose=verbose)

@@ -79,7 +79,8 @@ def make_multichain_chunk_runner(model: Sequential, likelihood: Likelihood,
                                  state_layout: str = "flat",
                                  per_chain_adapt: bool = False,
                                  data_chunk=None,
-                                 step_scale=None):
+                                 step_scale=None,
+                                 traced_step_scale: bool = False):
     """Builds ``run_chunk(carry, x, y, step_size, leapfrog, n_epochs)`` over
     batched chains.
 
@@ -97,6 +98,16 @@ def make_multichain_chunk_runner(model: Sequential, likelihood: Likelihood,
     group holds the same chain shard, so the masked leapfrog's trip count —
     and therefore its psum schedule — stays identical within each collective
     group.
+
+    ``step_scale`` is the per-coordinate ``(D,)`` diagonal-metric step
+    multiplier. With ``traced_step_scale`` the returned runner takes it as
+    a *traced argument* — ``run_chunk(carry, x, y, step_size, leapfrog,
+    step_scale, n_epochs)`` — so the driver's windowed metric
+    re-estimation swaps in a fresh scale vector every burn-in window
+    without retracing (one compile per run instead of one per window; a
+    remote compile through the axon tunnel costs 5-460s). Without it the
+    closure constant ``step_scale`` is baked in (the single-estimate
+    legacy path).
     """
     mu = math.log(100.0 * hyper_step_size_init)
 
@@ -109,9 +120,11 @@ def make_multichain_chunk_runner(model: Sequential, likelihood: Likelihood,
     def make_body(axis_name):
         """Builds the chunk body; the flat (C, D) interface at the boundary
         is identical for both state layouts, so the shard_map wrapper below
-        serves either."""
+        serves either. ``scale`` is the per-coordinate step multiplier —
+        a traced argument in ``traced_step_scale`` mode, else the closure
+        constant (possibly None)."""
         if state_layout == "tree":
-            def body(carry, x_shard, y_shard, step_size, leapfrog,
+            def body(carry, x_shard, y_shard, step_size, leapfrog, scale,
                      n_epochs: int):
                 epoch_fn = make_tree_epoch_fn(
                     model, likelihood, x_shard, y_shard, unravel_eta,
@@ -123,7 +136,7 @@ def make_multichain_chunk_runner(model: Sequential, likelihood: Likelihood,
                     axis_name=axis_name,
                     eta_dim=carry.eta.shape[-1],
                     data_chunk=data_chunk,
-                    step_scale=step_scale)
+                    step_scale=scale)
                 tree_carry = carry._replace(theta=unravel_b(carry.theta))
 
                 def step(c, _):
@@ -135,7 +148,7 @@ def make_multichain_chunk_runner(model: Sequential, likelihood: Likelihood,
                 return final._replace(theta=ravel_b(final.theta)), traces
             return body
 
-        def body(carry, x_shard, y_shard, step_size, leapfrog,
+        def body(carry, x_shard, y_shard, step_size, leapfrog, scale,
                  n_epochs: int):
             epoch_fn = make_epoch_fn(
                 model, likelihood, x_shard, y_shard,
@@ -147,7 +160,7 @@ def make_multichain_chunk_runner(model: Sequential, likelihood: Likelihood,
                 batched_main_traj=batched_main_traj,
                 eta_dim=carry.eta.shape[-1],
                 data_chunk=data_chunk,
-                step_scale=step_scale)
+                step_scale=scale)
 
             def step(c, _):
                 return epoch_fn(c, step_size, leapfrog)
@@ -158,10 +171,19 @@ def make_multichain_chunk_runner(model: Sequential, likelihood: Likelihood,
     if mesh is None:
         body = make_body(None)
 
-        @functools.partial(jax.jit, static_argnums=(5,),
-                           donate_argnums=(0,) if donate else ())
-        def run_chunk(carry, x_in, y_in, step_size, leapfrog, n_epochs):
-            return body(carry, x_in, y_in, step_size, leapfrog, n_epochs)
+        if traced_step_scale:
+            @functools.partial(jax.jit, static_argnums=(6,),
+                               donate_argnums=(0,) if donate else ())
+            def run_chunk(carry, x_in, y_in, step_size, leapfrog, scale,
+                          n_epochs):
+                return body(carry, x_in, y_in, step_size, leapfrog, scale,
+                            n_epochs)
+        else:
+            @functools.partial(jax.jit, static_argnums=(5,),
+                               donate_argnums=(0,) if donate else ())
+            def run_chunk(carry, x_in, y_in, step_size, leapfrog, n_epochs):
+                return body(carry, x_in, y_in, step_size, leapfrog,
+                            step_scale, n_epochs)
 
         return run_chunk
 
@@ -179,11 +201,29 @@ def make_multichain_chunk_runner(model: Sequential, likelihood: Likelihood,
 
     adapt_spec = P(CHAIN_AXIS) if per_chain_adapt else P()
 
+    if traced_step_scale:
+        # the (D,) scale is replicated: the chain axis shards chains, not
+        # coordinates, and every data-axis peer integrates the same metric
+        @functools.partial(jax.jit, static_argnums=(6,),
+                           donate_argnums=(0,) if donate else ())
+        def run_chunk(carry, x_in, y_in, step_size, leapfrog, scale,
+                      n_epochs):
+            fn = shard_map(
+                functools.partial(body, n_epochs=n_epochs),
+                mesh=mesh,
+                in_specs=(chain_state_spec, P(DATA_AXIS), P(DATA_AXIS),
+                          adapt_spec, adapt_spec, P()),
+                out_specs=(chain_state_spec, epoch_trace_spec),
+                check_vma=False)
+            return fn(carry, x_in, y_in, step_size, leapfrog, scale)
+
+        return run_chunk
+
     @functools.partial(jax.jit, static_argnums=(5,),
                        donate_argnums=(0,) if donate else ())
     def run_chunk(carry, x_in, y_in, step_size, leapfrog, n_epochs):
         fn = shard_map(
-            functools.partial(body, n_epochs=n_epochs),
+            functools.partial(body, scale=step_scale, n_epochs=n_epochs),
             mesh=mesh,
             in_specs=(chain_state_spec, P(DATA_AXIS), P(DATA_AXIS),
                       adapt_spec, adapt_spec),

@@ -180,6 +180,8 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
                      state_layout: str = "auto",
                      data_chunk: Optional[int] = None,
                      precondition=False,
+                     precondition_clip=(1e-2, 1e2),
+                     precondition_windows: int = 1,
                      donate: bool = False,
                      keep_samples="auto",
                      verbose: bool = True) -> RunResult:
@@ -215,11 +217,22 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
     ``precondition``: ``True`` (estimate at burnin/2) or an epoch number.
     At the first chunk boundary past the threshold, per-coordinate
     posterior scales are estimated from the cross-chain spread of theta,
-    normalized to median 1 and clipped to [1e-2, 1e2], then applied as
-    per-coordinate leapfrog step multipliers — a diagonal-metric
-    (Stan ``diag_e``) preconditioner (sampler/hmc.py). The GP adapter
-    keeps tuning the global step size on top. Opt-in, beyond the
-    reference; requires ``n_chains >= 8``; bypasses the Pallas kernels.
+    normalized to median 1 and clipped to ``precondition_clip``, then
+    applied as per-coordinate leapfrog step multipliers — a
+    diagonal-metric (Stan ``diag_e``) preconditioner (sampler/hmc.py).
+    The GP adapter keeps tuning the global step size on top. Opt-in,
+    beyond the reference; requires ``n_chains >= 8``; bypasses the
+    Pallas kernels.
+
+    ``precondition_windows``: number of metric (re-)estimations, evenly
+    spread between the ``precondition`` epoch and ``config.burnin``
+    (Stan's windowed warmup, simplified: each window replaces the scale
+    vector with a fresh cross-chain estimate, so coordinates that mix
+    only after the metric first engages get re-measured at their true
+    posterior spread). The scale is a traced argument of the compiled
+    chunk runner, so re-estimation costs no recompile. Estimation never
+    happens after burn-in (windows collapse onto the threshold epoch if
+    it is past ``burnin``), keeping the post-burn-in kernel fixed.
     """
     t_start = time.time()
     if n_adapters < 1 or n_chains % n_adapters:
@@ -280,6 +293,27 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
                 "Pallas kernels take a scalar step size); use "
                 "use_fused='auto' or False")
         use_fused = False
+    clip_lo, clip_hi = (float(precondition_clip[0]),
+                        float(precondition_clip[1]))
+    if not (0 < clip_lo <= clip_hi):
+        raise ValueError(
+            f"precondition_clip must satisfy 0 < lo <= hi, got "
+            f"({clip_lo}, {clip_hi})")
+    if precondition_windows < 1:
+        raise ValueError(
+            f"precondition_windows must be >= 1, got "
+            f"{precondition_windows}")
+    # estimation epochs: evenly spaced from the threshold to burnin (the
+    # kernel must be fixed once sampling starts, so no window lands past
+    # burnin — if the threshold itself is past burnin, a single estimate
+    # fires there, preserving the documented single-window behavior)
+    precond_epochs: List[int] = []
+    if precond_at is not None:
+        span = max(config.burnin - precond_at, 0)
+        precond_epochs = sorted(
+            {precond_at + (k * span) // precondition_windows
+             for k in range(precondition_windows)})
+    windows_fired = 0
 
     batched_main_vg = None
     batched_main_traj = None
@@ -357,9 +391,14 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
             # unaffected — they only engage in the tiny-data regime anyway)
             data_chunk=data_chunk,
             step_scale=step_scale,
+            # preconditioned runs take the scale as a traced argument so
+            # each burn-in window's re-estimate swaps in for free (no
+            # retrace — remote compiles cost 5-460s through axon)
+            traced_step_scale=precond_at is not None,
             per_chain_adapt=n_adapters > 1)
 
     step_scale = None  # (D,) numpy once estimated/restored
+    ones_scale = np.ones(flat.theta.size, np.float32)
     run_chunk = _build_runner()
 
     carry = init_multichain_state(flat.theta, flat.eta, key,
@@ -414,10 +453,17 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
     # identifies the run a checkpoint belongs to: resuming with a different
     # config/model/chain-count would silently produce a wrong trajectory,
     # so the fingerprint is persisted and validated on load
+    # windows/clip at their defaults keep the round-3 fingerprint value
+    # (a plain epoch int) so earlier preconditioned checkpoints resume
+    fp_precond = precond_at
+    if precond_at is not None and (precondition_windows != 1
+                                   or (clip_lo, clip_hi) != (1e-2, 1e2)):
+        fp_precond = (f"{precond_at}/w{precondition_windows}"
+                      f"/clip{clip_lo:g},{clip_hi:g}")
     fingerprint = _run_fingerprint(config, model, likelihood, flat,
                                    n_chains, sampling_step, dtype,
                                    n_adapters=n_adapters,
-                                   precondition=precond_at)
+                                   precondition=fp_precond)
 
     # -- resume from a checkpoint if one exists ---------------------------------
     resumed = checkpoint.load_resume(checkpoint_dir) if checkpoint_dir \
@@ -462,7 +508,15 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
         saved_scale = host.get("step_scale")
         if saved_scale is not None:
             step_scale = np.asarray(saved_scale, np.float32)
-            run_chunk = _build_runner(step_scale)
+            if precond_at is None:
+                # token-less legacy checkpoint resumed without
+                # precondition= set: keep honoring its metric through the
+                # baked-closure runner (fingerprinted checkpoints can't
+                # get here — the mismatch raises above)
+                run_chunk = _build_runner(step_scale)
+        windows_fired = int(host.get(
+            "precond_windows_fired",
+            1 if saved_scale is not None else 0))
         iter_ = int(host["iter"])
         step_sizes = np.atleast_1d(
             np.asarray(host["step_size"], np.float64))
@@ -537,17 +591,18 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
                            else None),
                 "step_scale": (None if step_scale is None
                                else [float(s) for s in step_scale]),
+                "precond_windows_fired": windows_fired,
                 "fingerprint": fingerprint})
 
     chunks_done = 0
     while iter_ < epochs:
-        if (precond_at is not None and step_scale is None
-                and iter_ >= precond_at):
-            # estimate per-coordinate scales from the fleet's spread and
-            # rebuild the runner with the preconditioner folded in (one
-            # extra compile, once per run)
-            theta_now = np.asarray(carry.theta, np.float64)  # (C, D)
-            sd = theta_now.std(axis=0)
+        if (precond_at is not None and windows_fired < len(precond_epochs)
+                and iter_ >= precond_epochs[windows_fired]):
+            # (re-)estimate per-coordinate scales from the fleet's spread;
+            # the scale is a traced runner argument, so no recompile.
+            # std computed device-side: only the (D,) vector crosses the
+            # ~200MB/s axon tunnel, not the (C, D) fleet
+            sd = np.asarray(jnp.std(carry.theta, axis=0), np.float64)
             pos = sd[sd > 0]
             med = float(np.median(pos)) if pos.size else 1.0
             scale = np.where(sd > 0, sd / max(med, 1e-12), 1.0)
@@ -559,11 +614,17 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
             # lets the stiff directions shrink out of the stability
             # limit). The bounds still guard against degenerate
             # cross-chain estimates on unmixed coordinates.
-            step_scale = np.clip(scale, 1e-2, 1e2).astype(np.float32)
-            run_chunk = _build_runner(step_scale)
+            step_scale = np.clip(scale, clip_lo, clip_hi).astype(np.float32)
+            # consume every window whose epoch has passed (one estimate
+            # covers them all — a long adapter cycle can skip several)
+            windows_fired = max(windows_fired + 1,
+                                sum(1 for e in precond_epochs
+                                    if e <= iter_))
             if verbose:
-                print(f"preconditioner on at epoch {iter_}: scale range "
-                      f"[{step_scale.min():.3f}, {step_scale.max():.3f}]")
+                print(f"preconditioner estimate "
+                      f"{windows_fired}/{len(precond_epochs)} at epoch "
+                      f"{iter_}: scale range [{step_scale.min():.3g}, "
+                      f"{step_scale.max():.3g}]")
         chunk = min(min(a.epochs_until_next_change() for a in adapters),
                     epochs - iter_)
         if tracer is not None:
@@ -575,8 +636,15 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
             eps_arg = jnp.asarray(np.repeat(step_sizes, grp_chains), dtype)
             leap_arg = jnp.asarray(np.repeat(leapfrogs, grp_chains),
                                    jnp.int32)
-        carry, trace = run_chunk(
-            carry, x_train, y_train, eps_arg, leap_arg, chunk)
+        if precond_at is not None:
+            scale_arg = jnp.asarray(ones_scale if step_scale is None
+                                    else step_scale)
+            carry, trace = run_chunk(
+                carry, x_train, y_train, eps_arg, leap_arg, scale_arg,
+                chunk)
+        else:
+            carry, trace = run_chunk(
+                carry, x_train, y_train, eps_arg, leap_arg, chunk)
 
         sjd = np.asarray(trace.sjd)            # (chunk, C)
         if tracer is not None:
@@ -738,7 +806,11 @@ def _run_fingerprint(config: MCMCConfig, model, likelihood, flat,
         layers.append(desc)
     fp = {} if n_adapters == 1 else {"n_adapters": int(n_adapters)}
     if precondition is not None:
-        fp = fp | {"precondition": int(precondition)}
+        # an int epoch for the default clip/window config, a composite
+        # string otherwise (keeps round-3 checkpoints resumable)
+        fp = fp | {"precondition": precondition
+                   if isinstance(precondition, str)
+                   else int(precondition)}
     return fp | {
         "config": dataclasses.asdict(config),
         "layers": layers,

@@ -198,6 +198,89 @@ def test_precondition_resume_roundtrip(tmp_path):
                                rtol=2e-4, atol=1e-5)
 
 
+def test_driver_windowed_reestimation(capsys):
+    """precondition_windows > 1 re-estimates the metric during burn-in
+    (Stan-style windows) without retracing: the verbose log shows every
+    window firing and the run stays healthy."""
+    net, lik = _make_net(seed=11)
+    res = net.train(160, 4, lik, n_chains=8, chain_jitter=0.05,
+                    precondition=10, precondition_windows=3,
+                    use_fused=False, verbose=True)
+    out = capsys.readouterr().out
+    assert "preconditioner estimate 1/3" in out
+    assert "preconditioner estimate 3/3" in out
+    assert np.isfinite(res.theta_samples).all()
+    assert 0.05 < res.main_accept[40:].mean() <= 1.0
+
+
+def test_precondition_clip_kwarg():
+    """A custom clip range reaches the estimator (scales land inside it)
+    and a degenerate range raises."""
+    net, lik = _make_net(seed=12)
+    res = net.train(120, 4, lik, n_chains=8, chain_jitter=0.05,
+                    precondition=True, precondition_clip=(0.5, 2.0),
+                    use_fused=False, verbose=False)
+    assert np.isfinite(res.theta_samples).all()
+    net2, lik2 = _make_net(seed=12)
+    with pytest.raises(ValueError, match="precondition_clip"):
+        net2.train(120, 4, lik2, n_chains=8, precondition=True,
+                   precondition_clip=(2.0, 0.5), verbose=False)
+    net3, lik3 = _make_net(seed=12)
+    with pytest.raises(ValueError, match="precondition_windows"):
+        net3.train(120, 4, lik3, n_chains=8, precondition=True,
+                   precondition_windows=0, verbose=False)
+
+
+def test_windowed_precondition_resume_roundtrip(tmp_path):
+    """Windowed runs resume mid-schedule: the fired-window count persists
+    so already-passed windows don't re-fire, and the resumed trajectory
+    matches the uninterrupted one."""
+    from tensorbnn_tpu.sampler.driver import sample_posterior
+
+    def go(epochs, ckpt):
+        net, lik = _make_net(seed=13)
+        params, hypers = net.init_state()
+        key = jax.random.split(net.key)[1]
+        return sample_posterior(
+            net.model, lik, net.train_x, net.train_y, epochs=epochs,
+            config=net.config, params=params, hypers=hypers, key=key,
+            sampling_step=4, adjust_hypers=True, verbose=False,
+            n_chains=8, chain_jitter=0.05, precondition=5,
+            precondition_windows=4, use_fused=False,
+            checkpoint_dir=ckpt, checkpoint_every=1)
+
+    ckpt = str(tmp_path / "ckpt")
+    go(20, ckpt)                      # interrupt mid-window-schedule
+    res = go(160, ckpt)
+    full = go(160, str(tmp_path / "ckpt2"))
+    assert res.theta_samples.shape == full.theta_samples.shape
+    np.testing.assert_allclose(res.theta_samples, full.theta_samples,
+                               rtol=2e-4, atol=1e-5)
+
+
+def test_windowed_fingerprint_rejects_mismatch(tmp_path):
+    """A checkpoint written under one window/clip config refuses to resume
+    under another (the kernel schedule would differ)."""
+    from tensorbnn_tpu.sampler.driver import sample_posterior
+
+    def go(ckpt, windows):
+        net, lik = _make_net(seed=14)
+        params, hypers = net.init_state()
+        key = jax.random.split(net.key)[1]
+        return sample_posterior(
+            net.model, lik, net.train_x, net.train_y, epochs=60,
+            config=net.config, params=params, hypers=hypers, key=key,
+            sampling_step=4, adjust_hypers=True, verbose=False,
+            n_chains=8, chain_jitter=0.05, precondition=5,
+            precondition_windows=windows, use_fused=False,
+            checkpoint_dir=ckpt, checkpoint_every=1)
+
+    ckpt = str(tmp_path / "ckpt")
+    go(ckpt, windows=3)
+    with pytest.raises(ValueError, match="precondition"):
+        go(ckpt, windows=2)
+
+
 def test_precondition_with_adapter_groups():
     """Per-chain (C,) step sizes (n_adapters > 1) compose with the (D,)
     preconditioner: the flat path broadcasts (C,1)x(1,D), the masked
