@@ -357,7 +357,9 @@ def bench_surrogate():
     }))
 
 
-def bench_surrogate_quality(n_chains: int = 32, precondition: bool = False):
+def bench_surrogate_quality(n_chains: int = 32, precondition: bool = False,
+                            windows: int = 1, clip=(1e-2, 1e2),
+                            uturn: bool = False):
     """The surrogate config as a *posterior*, not just a throughput number
     (round-1 PERF_NOTES gap 4): run the full adaptive driver with a step
     grid at the ~1e-7 scale this 1M-point target needs, assert acceptance
@@ -427,12 +429,22 @@ def bench_surrogate_quality(n_chains: int = 32, precondition: bool = False):
     # epoch 60, right after the random phase, so the capped grid is
     # explored preconditioned)
     eps_max = 2e-5 if precondition else 1e-6
-    net.setup_mcmc(step_size_start=5e-7, step_size_min=1e-8,
-                   step_size_max=eps_max, step_size_options=40,
-                   leapfrog_start=10, leapfrog_min=5, leapfrog_max=15,
-                   leapfrog_increment=5, hyper_step_size=1e-6,
-                   hyper_leapfrog=5, burnin=burnin, averaging_steps=10,
-                   random_steps=5)
+    if uturn:
+        # the RM controller explores the step range continuously toward
+        # 0.8 acceptance (no grid) and the U-turn criterion picks the
+        # trajectory length — bounds are guards, not a search space
+        net.setup_mcmc(step_size_start=5e-7, step_size_min=1e-9,
+                       step_size_max=1e-4, leapfrog_start=10,
+                       leapfrog_min=2, leapfrog_max=64,
+                       hyper_step_size=1e-6, hyper_leapfrog=5,
+                       burnin=burnin, averaging_steps=10)
+    else:
+        net.setup_mcmc(step_size_start=5e-7, step_size_min=1e-8,
+                       step_size_max=eps_max, step_size_options=40,
+                       leapfrog_start=10, leapfrog_min=5, leapfrog_max=15,
+                       leapfrog_increment=5, hyper_step_size=1e-6,
+                       hyper_leapfrog=5, burnin=burnin, averaging_steps=10,
+                       random_steps=5)
 
     epochs, sampling_step = 600, 2
     t0 = time.perf_counter()
@@ -440,7 +452,10 @@ def bench_surrogate_quality(n_chains: int = 32, precondition: bool = False):
                     n_chains=n_chains, chain_jitter=0.0,
                     data_chunk=125_000,
                     precondition=60 if precondition else False,
-                    verbose=False)
+                    precondition_windows=windows,
+                    precondition_clip=clip,
+                    trajectory="uturn" if uturn else "adapter",
+                    verbose=True)
     dt = time.perf_counter() - t0
 
     acc = float(res.main_accept[burnin:].mean())
@@ -475,6 +490,9 @@ def bench_surrogate_quality(n_chains: int = 32, precondition: bool = False):
         "wall_seconds": round(dt, 1),
         "final_step_size": res.final_step_size,
         "final_leapfrog": res.final_leapfrog,
+        "precond_windows": windows if precondition else 0,
+        "precond_clip": list(clip) if precondition else None,
+        "trajectory": "uturn" if uturn else "adapter",
         "potential": "xla-tree",
     }))
 
@@ -726,7 +744,15 @@ def main():
     if which in ("surrogate_quality", "all"):
         bench_surrogate_quality()
     if which == "surrogate_quality_precond":
-        bench_surrogate_quality(precondition=True)
+        # optional extra args: windows, clip_lo (the burn-in window/clip
+        # ablation — see PERF_NOTES "windowed metric" table)
+        windows = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+        clip_lo = float(sys.argv[3]) if len(sys.argv) > 3 else 1e-2
+        bench_surrogate_quality(precondition=True, windows=windows,
+                                clip=(clip_lo, 1e2))
+    if which == "surrogate_quality_uturn":
+        precond = len(sys.argv) > 2 and sys.argv[2] == "precond"
+        bench_surrogate_quality(precondition=precond, uturn=True)
     if which in ("classification", "all"):
         bench_classification()
     if which in ("multiclass", "all"):

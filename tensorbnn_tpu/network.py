@@ -151,6 +151,7 @@ class Network:
               precondition=False,
               precondition_clip=(1e-2, 1e2),
               precondition_windows: int = 1,
+              trajectory: str = "adapter",
               checkpoint_dir=None,
               checkpoint_every: int = 0, tracer=None,
               keep_samples="auto",
@@ -190,6 +191,7 @@ class Network:
             data_chunk=data_chunk, precondition=precondition,
             precondition_clip=precondition_clip,
             precondition_windows=precondition_windows,
+            trajectory=trajectory,
             checkpoint_dir=checkpoint_dir,
             checkpoint_every=checkpoint_every, tracer=tracer,
             keep_samples=keep_samples, verbose=verbose)

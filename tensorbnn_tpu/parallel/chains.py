@@ -80,7 +80,9 @@ def make_multichain_chunk_runner(model: Sequential, likelihood: Likelihood,
                                  per_chain_adapt: bool = False,
                                  data_chunk=None,
                                  step_scale=None,
-                                 traced_step_scale: bool = False):
+                                 traced_step_scale: bool = False,
+                                 record_uturn: bool = False,
+                                 per_epoch_leapfrog: bool = False):
     """Builds ``run_chunk(carry, x, y, step_size, leapfrog, n_epochs)`` over
     batched chains.
 
@@ -108,6 +110,14 @@ def make_multichain_chunk_runner(model: Sequential, likelihood: Likelihood,
     remote compile through the axon tunnel costs 5-460s). Without it the
     closure constant ``step_scale`` is baked in (the single-estimate
     legacy path).
+
+    ``record_uturn`` threads the per-epoch first-U-turn step into the
+    trace (sampler/hmc.py). ``per_epoch_leapfrog`` makes the ``leapfrog``
+    argument an ``(n_epochs,)`` vector consumed as the epoch scan's
+    ``xs`` — each epoch integrates its own trajectory length, the
+    NUTS-style dynamic-length mode (the whole fleet still shares one
+    wave front per epoch; lengths stay traced, so drawing fresh ones
+    every chunk never recompiles).
     """
     mu = math.log(100.0 * hyper_step_size_init)
 
@@ -136,15 +146,20 @@ def make_multichain_chunk_runner(model: Sequential, likelihood: Likelihood,
                     axis_name=axis_name,
                     eta_dim=carry.eta.shape[-1],
                     data_chunk=data_chunk,
-                    step_scale=scale)
+                    step_scale=scale,
+                    record_uturn=record_uturn)
                 tree_carry = carry._replace(theta=unravel_b(carry.theta))
 
-                def step(c, _):
-                    c2, trace = epoch_fn(c, step_size, leapfrog)
+                def step(c, leap):
+                    c2, trace = epoch_fn(c, step_size, leap)
                     return c2, trace._replace(theta=ravel_b(trace.theta))
 
-                final, traces = lax.scan(step, tree_carry, xs=None,
-                                         length=n_epochs)
+                if per_epoch_leapfrog:
+                    final, traces = lax.scan(step, tree_carry, xs=leapfrog)
+                else:
+                    final, traces = lax.scan(
+                        lambda c, _: step(c, leapfrog), tree_carry,
+                        xs=None, length=n_epochs)
                 return final._replace(theta=ravel_b(final.theta)), traces
             return body
 
@@ -160,12 +175,15 @@ def make_multichain_chunk_runner(model: Sequential, likelihood: Likelihood,
                 batched_main_traj=batched_main_traj,
                 eta_dim=carry.eta.shape[-1],
                 data_chunk=data_chunk,
-                step_scale=scale)
+                step_scale=scale,
+                record_uturn=record_uturn)
 
-            def step(c, _):
-                return epoch_fn(c, step_size, leapfrog)
-
-            return lax.scan(step, carry, xs=None, length=n_epochs)
+            if per_epoch_leapfrog:
+                return lax.scan(
+                    lambda c, leap: epoch_fn(c, step_size, leap),
+                    carry, xs=leapfrog)
+            return lax.scan(lambda c, _: epoch_fn(c, step_size, leapfrog),
+                            carry, xs=None, length=n_epochs)
         return body
 
     if mesh is None:
@@ -197,9 +215,11 @@ def make_multichain_chunk_runner(model: Sequential, likelihood: Likelihood,
     epoch_trace_spec = EpochTrace(
         theta=P(None, CHAIN_AXIS), eta=P(None, CHAIN_AXIS),
         sjd=P(None, CHAIN_AXIS), main_accept=P(None, CHAIN_AXIS),
-        hyper_accept=P(None, CHAIN_AXIS))
+        hyper_accept=P(None, CHAIN_AXIS), uturn=P(None, CHAIN_AXIS))
 
     adapt_spec = P(CHAIN_AXIS) if per_chain_adapt else P()
+    # per-epoch leapfrog vectors are (n_epochs,), shared by every chain
+    leap_spec = P() if per_epoch_leapfrog else adapt_spec
 
     if traced_step_scale:
         # the (D,) scale is replicated: the chain axis shards chains, not
@@ -212,7 +232,7 @@ def make_multichain_chunk_runner(model: Sequential, likelihood: Likelihood,
                 functools.partial(body, n_epochs=n_epochs),
                 mesh=mesh,
                 in_specs=(chain_state_spec, P(DATA_AXIS), P(DATA_AXIS),
-                          adapt_spec, adapt_spec, P()),
+                          adapt_spec, leap_spec, P()),
                 out_specs=(chain_state_spec, epoch_trace_spec),
                 check_vma=False)
             return fn(carry, x_in, y_in, step_size, leapfrog, scale)
@@ -226,7 +246,7 @@ def make_multichain_chunk_runner(model: Sequential, likelihood: Likelihood,
             functools.partial(body, scale=step_scale, n_epochs=n_epochs),
             mesh=mesh,
             in_specs=(chain_state_spec, P(DATA_AXIS), P(DATA_AXIS),
-                      adapt_spec, adapt_spec),
+                      adapt_spec, leap_spec),
             out_specs=(chain_state_spec, epoch_trace_spec),
             check_vma=False)
         return fn(carry, x_in, y_in, step_size, leapfrog)

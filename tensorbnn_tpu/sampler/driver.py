@@ -182,6 +182,7 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
                      precondition=False,
                      precondition_clip=(1e-2, 1e2),
                      precondition_windows: int = 1,
+                     trajectory: str = "adapter",
                      donate: bool = False,
                      keep_samples="auto",
                      verbose: bool = True) -> RunResult:
@@ -233,12 +234,32 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
     chunk runner, so re-estimation costs no recompile. Estimation never
     happens after burn-in (windows collapse onto the threshold epoch if
     it is past ``burnin``), keeping the post-burn-in kernel fixed.
+
+    ``trajectory``: ``"adapter"`` (default) tunes (step size, leapfrog)
+    with the reference's GP-UCB adapter. ``"uturn"`` instead runs
+    NUTS-style dynamic trajectory lengths redesigned for the batched TPU
+    wave front (sampler/uturn.py): burn-in trajectories record their
+    first U-turn step, the step size is dual-averaged toward 0.8
+    acceptance (Stan's warmup), and after burn-in each epoch draws its
+    length from the learned U-turn distribution — lengths and step size
+    stay traced, so the dynamics never recompile. Beyond the reference;
+    requires ``n_adapters == 1``; the fused whole-trajectory Pallas
+    kernel is bypassed (the potential kernel still engages).
     """
     t_start = time.time()
     if n_adapters < 1 or n_chains % n_adapters:
         raise ValueError(
             f"n_adapters ({n_adapters}) must be >= 1 and divide "
             f"n_chains ({n_chains})")
+    if trajectory not in ("adapter", "uturn"):
+        raise ValueError(
+            f"trajectory must be 'adapter' or 'uturn', got {trajectory!r}")
+    traj_uturn = trajectory == "uturn"
+    if traj_uturn and n_adapters != 1:
+        raise ValueError(
+            "trajectory='uturn' shares one dynamic length schedule "
+            "across the fleet (one wave front); it is incompatible with "
+            "n_adapters > 1")
     x_train = jnp.asarray(x_train, dtype)
     y_train = jnp.asarray(y_train, dtype)
 
@@ -338,7 +359,8 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
             block_c=block_c, interpret=not on_tpu,
             axis_name=axis_name, n_rows=local_rows,
             require_profitable=auto)
-        if mesh is None or mesh.shape[DATA_AXIS] == 1:
+        if (mesh is None or mesh.shape[DATA_AXIS] == 1) \
+                and not traj_uturn:
             # whole-trajectory kernel: all L leapfrog steps in one Pallas
             # program. A psum cannot run inside it, so it needs the full
             # data batch on every device — true single-chip AND on
@@ -395,6 +417,8 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
             # each burn-in window's re-estimate swaps in for free (no
             # retrace — remote compiles cost 5-460s through axon)
             traced_step_scale=precond_at is not None,
+            record_uturn=traj_uturn,
+            per_epoch_leapfrog=traj_uturn,
             per_chain_adapt=n_adapters > 1)
 
     step_scale = None  # (D,) numpy once estimated/restored
@@ -411,6 +435,17 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
     adapters = [config.make_adapter(seed=config.adapter_seed + g
                                     if n_grp > 1 else None)
                 for g in range(n_grp)]
+    uturn_ad = None
+    if traj_uturn:
+        from tensorbnn_tpu.sampler.uturn import UTurnAdapter
+        uturn_ad = UTurnAdapter(
+            step_size_start=config.step_size_start,
+            step_size_min=config.step_size_min,
+            step_size_max=config.step_size_max,
+            leapfrog_start=config.leapfrog_start,
+            leapfrog_min=config.leapfrog_min,
+            leapfrog_max=config.leapfrog_max,
+            burnin=config.burnin, seed=config.adapter_seed)
 
     step_sizes = np.full(n_grp, config.step_size_start, np.float64)
     leapfrogs = np.full(n_grp, config.leapfrog_start, np.int64)
@@ -463,7 +498,8 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
     fingerprint = _run_fingerprint(config, model, likelihood, flat,
                                    n_chains, sampling_step, dtype,
                                    n_adapters=n_adapters,
-                                   precondition=fp_precond)
+                                   precondition=fp_precond,
+                                   trajectory=trajectory)
 
     # -- resume from a checkpoint if one exists ---------------------------------
     resumed = checkpoint.load_resume(checkpoint_dir) if checkpoint_dir \
@@ -517,6 +553,8 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
         windows_fired = int(host.get(
             "precond_windows_fired",
             1 if saved_scale is not None else 0))
+        if uturn_ad is not None and host.get("uturn_adapter") is not None:
+            uturn_ad.load_state_dict(host["uturn_adapter"])
         iter_ = int(host["iter"])
         step_sizes = np.atleast_1d(
             np.asarray(host["step_size"], np.float64))
@@ -592,6 +630,8 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
                 "step_scale": (None if step_scale is None
                                else [float(s) for s in step_scale]),
                 "precond_windows_fired": windows_fired,
+                "uturn_adapter": (uturn_ad.state_dict()
+                                  if uturn_ad is not None else None),
                 "fingerprint": fingerprint})
 
     chunks_done = 0
@@ -625,11 +665,28 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
                       f"{windows_fired}/{len(precond_epochs)} at epoch "
                       f"{iter_}: scale range [{step_scale.min():.3g}, "
                       f"{step_scale.max():.3g}]")
-        chunk = min(min(a.epochs_until_next_change() for a in adapters),
-                    epochs - iter_)
+        if traj_uturn:
+            # burn-in runs short chunks (tight dual-averaging cadence,
+            # boundary landing exactly on the burn-in crossing so the
+            # step size freezes cleanly); sampling runs long ones
+            if iter_ < config.burnin:
+                chunk = min(max(1, config.averaging_steps),
+                            config.burnin - iter_, epochs - iter_)
+            else:
+                chunk = min(50, epochs - iter_)
+            eps_now, leap_vec = uturn_ad.plan_chunk(iter_, chunk)
+            step_sizes[0] = float(eps_now)
+            leapfrogs[0] = int(np.median(leap_vec))
+        else:
+            chunk = min(min(a.epochs_until_next_change()
+                            for a in adapters),
+                        epochs - iter_)
         if tracer is not None:
             tracer.start_chunk()
-        if n_grp == 1:
+        if traj_uturn:
+            eps_arg = jnp.asarray(float(step_sizes[0]), dtype)
+            leap_arg = jnp.asarray(leap_vec, jnp.int32)
+        elif n_grp == 1:
             eps_arg = jnp.asarray(float(step_sizes[0]), dtype)
             leap_arg = jnp.asarray(int(leapfrogs[0]), jnp.int32)
         else:
@@ -652,8 +709,12 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
             # group's L (mask-frozen while the straggler group finishes), so
             # the chunk's work is the group-size-weighted mean L, not max L
             # (the max is recorded separately as the straggler-paid L)
-            tracer.end_chunk(chunk, float(leapfrogs.mean()), n_chains,
-                             float(leapfrogs.max()))
+            if traj_uturn:
+                tracer.end_chunk(chunk, float(leap_vec.mean()), n_chains,
+                                 float(leap_vec.max()))
+            else:
+                tracer.end_chunk(chunk, float(leapfrogs.mean()), n_chains,
+                                 float(leapfrogs.max()))
         m_acc = np.asarray(trace.main_accept)  # (chunk, C)
         h_acc = np.asarray(trace.hyper_accept)
         sjd_mean = sjd.mean(axis=1)
@@ -662,6 +723,14 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
         sjds.append(sjd_mean)
         main_accepts.append(m_acc.mean(axis=1))
         hyper_accepts.append(h_acc.mean(axis=1))
+
+        if traj_uturn:
+            # replay the chunk through the U-turn schedule (DA step-size
+            # updates + U-turn length reservoir, burn-in epochs only)
+            uturn_ad.observe(iter_, m_acc.mean(axis=1),
+                             np.asarray(trace.uturn), leap_vec)
+            step_sizes[0] = float(uturn_ad.eps)
+            leapfrogs[0] = int(uturn_ad.l_hat)
 
         # pull only the rows the host needs (sampling + display epochs) —
         # the full (chunk, C, D) trace stays on device
@@ -684,11 +753,12 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
             iter_ += 1
             # the reference's first adapter call carries no SJD
             # (paramAdapter.py:216-219): previous_state starts as None
-            for g, a in enumerate(adapters):
-                e_g, l_g = a.update(
-                    None if iter_ == 1 else float(sjd_grp[j, g]))
-                step_sizes[g] = float(np.clip(e_g, 1e-12, None))
-                leapfrogs[g] = int(l_g)
+            if not traj_uturn:
+                for g, a in enumerate(adapters):
+                    e_g, l_g = a.update(
+                        None if iter_ == 1 else float(sjd_grp[j, g]))
+                    step_sizes[g] = float(np.clip(e_g, 1e-12, None))
+                    leapfrogs[g] = int(l_g)
 
             if iter_ > config.burnin and iter_ % sampling_step == 0:
                 if keep_samples:
@@ -796,7 +866,8 @@ def _lik_hypers_from_eta(flat, eta_row):
 
 def _run_fingerprint(config: MCMCConfig, model, likelihood, flat,
                      n_chains: int, sampling_step: int, dtype,
-                     n_adapters: int = 1, precondition=None) -> dict:
+                     n_adapters: int = 1, precondition=None,
+                     trajectory: str = "adapter") -> dict:
     """JSON-safe identity of a sampling run, for resume validation."""
     layers = []
     for layer in model.layers:
@@ -805,6 +876,10 @@ def _run_fingerprint(config: MCMCConfig, model, likelihood, flat,
             desc += f"({layer.in_dim},{layer.out_dim})"
         layers.append(desc)
     fp = {} if n_adapters == 1 else {"n_adapters": int(n_adapters)}
+    if trajectory != "adapter":
+        # key only present off-default, so pre-existing checkpoints keep
+        # their fingerprint value
+        fp = fp | {"trajectory": trajectory}
     if precondition is not None:
         # an int epoch for the default clip/window config, a composite
         # string otherwise (keeps round-3 checkpoints resumable)

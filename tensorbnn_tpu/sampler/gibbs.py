@@ -59,6 +59,10 @@ class EpochTrace(NamedTuple):
     sjd: jax.Array           # (n_epochs, C)
     main_accept: jax.Array   # (n_epochs, C)
     hyper_accept: jax.Array  # (n_epochs, C)
+    #: first U-turn step of each main-block trajectory (int32; 0 = none
+    #: within L, or U-turn recording off) — feeds the driver's
+    #: NUTS-style dynamic trajectory-length adaptation
+    uturn: jax.Array = None  # (n_epochs, C)
 
 
 def make_epoch_fn(model: Sequential, likelihood: Likelihood, x, y,
@@ -72,7 +76,8 @@ def make_epoch_fn(model: Sequential, likelihood: Likelihood, x, y,
                   batched_main_traj: Optional[Callable] = None,
                   eta_dim: Optional[int] = None,
                   data_chunk: Optional[int] = None,
-                  step_scale=None):
+                  step_scale=None,
+                  record_uturn: bool = False):
     """Builds ``epoch_fn(carry, step_size, leapfrog) -> (carry, trace_row)``
     over a chain-batched carry.
 
@@ -142,7 +147,8 @@ def make_epoch_fn(model: Sequential, likelihood: Likelihood, x, y,
             main = hmc_step_batched(
                 k_main, carry.theta,
                 lambda ths: main_vg_b(ths, eta),
-                step_size, leapfrog, step_scale=step_scale)
+                step_size, leapfrog, step_scale=step_scale,
+                record_uturn=record_uturn)
         theta = main.position
 
         # SJD scaled by L^(-1/2) (reference paramAdapter.py:219-222)
@@ -185,7 +191,9 @@ def make_epoch_fn(model: Sequential, likelihood: Likelihood, x, y,
                                epoch=carry.epoch + 1.0)
         trace = EpochTrace(theta=theta, eta=eta, sjd=sjd,
                            main_accept=main.accept_prob,
-                           hyper_accept=hyper_accept)
+                           hyper_accept=hyper_accept,
+                           uturn=(main.uturn if main.uturn is not None
+                                  else jnp.zeros_like(sjd, jnp.int32)))
         return new_carry, trace
 
     return epoch_fn
@@ -202,7 +210,8 @@ def make_tree_epoch_fn(model: Sequential, likelihood: Likelihood, x, y,
                        axis_name: Optional[str] = None,
                        eta_dim: Optional[int] = None,
                        data_chunk: Optional[int] = None,
-                       step_scale=None):
+                       step_scale=None,
+                       record_uturn: bool = False):
     """Tree-state epoch step for wide models.
 
     The main-chain state lives as a stacked params pytree (leaves (C, ...))
@@ -298,7 +307,8 @@ def make_tree_epoch_fn(model: Sequential, likelihood: Likelihood, x, y,
                              lambda p: main_vg(p, eta),
                              step_size, leapfrog,
                              momentum_fn=momentum_fn,
-                             scale_tree=scale_tree)
+                             scale_tree=scale_tree,
+                             record_uturn=record_uturn)
         theta = main.position
 
         # SJD scaled by L^(-1/2), tree-reduced per chain
@@ -344,7 +354,9 @@ def make_tree_epoch_fn(model: Sequential, likelihood: Likelihood, x, y,
                                epoch=carry.epoch + 1.0)
         trace = EpochTrace(theta=theta, eta=eta, sjd=sjd,
                            main_accept=main.accept_prob,
-                           hyper_accept=hyper_accept)
+                           hyper_accept=hyper_accept,
+                           uturn=(main.uturn if main.uturn is not None
+                                  else jnp.zeros_like(sjd, jnp.int32)))
         return new_carry, trace
 
     return epoch_fn

@@ -38,6 +38,10 @@ class HMCResult(NamedTuple):
     log_prob: jax.Array      # log target density at the new position
     accept_prob: jax.Array   # min(1, exp(log_accept_ratio))
     accepted: jax.Array      # bool, whether the proposal was accepted
+    #: first leapfrog step where the trajectory U-turned away from its
+    #: start (0 = no U-turn within the executed length); only populated
+    #: by the batched/tree kernels when ``record_uturn`` is requested
+    uturn: Optional[jax.Array] = None
 
 
 def leapfrog(log_prob_fn: Callable, position: jax.Array,
@@ -118,7 +122,9 @@ def hmc_step(key, position: jax.Array, log_prob_fn: Callable,
 
 
 def leapfrog_batched(vg_fn: Callable, positions: jax.Array,
-                     momenta: jax.Array, step_size, n_steps) -> tuple:
+                     momenta: jax.Array, step_size, n_steps,
+                     record_uturn: bool = False,
+                     uturn_inv_scale=None) -> tuple:
     """Chain-batched leapfrog: positions (C, D), vg_fn (C, D) -> ((C,), (C, D)).
 
     ``step_size`` is a traced scalar or a per-chain ``(C, 1)`` column;
@@ -130,9 +136,27 @@ def leapfrog_batched(vg_fn: Callable, positions: jax.Array,
     per-chain counts the loop runs to ``max(n_steps)`` with finished chains
     mask-frozen: one wave-front batch still beats per-chain programs, but
     every chain pays the longest trajectory's wall clock.
+
+    ``record_uturn``: additionally returns a per-chain ``(C,)`` int32 of
+    the first step index (1-based) where the trajectory turned back
+    toward its start — ``(q_i - q_0) . v_i < 0``, the NUTS stopping
+    criterion applied to a single forward trajectory (eHMC, Wu et al.
+    2018) — or 0 if it never U-turned within the executed length. One
+    elementwise multiply+reduce per step, negligible next to the gradient
+    evaluation. ``uturn_inv_scale`` (``(D,)``): with a diagonal-metric
+    preconditioner the check runs in the *transformed* space where
+    momenta are isotropic — the displacement is divided by the metric
+    scale (pass ``1/step_scale``).
     """
     lp0, g0 = vg_fn(positions)
     momenta = momenta + 0.5 * step_size * g0
+    q0 = positions
+
+    def uturn_proj(q, v):
+        d = q - q0
+        if uturn_inv_scale is not None:
+            d = d * jnp.reshape(uturn_inv_scale, (1, -1))
+        return jnp.sum(d * v, axis=-1)
 
     if jnp.ndim(n_steps) == 0:
         def cond(carry):
@@ -140,11 +164,14 @@ def leapfrog_batched(vg_fn: Callable, positions: jax.Array,
             return i < n_steps
 
         def body(carry):
-            i, q, v, _lp, _g = carry
+            i, q, v, _lp, _g, ut = carry
             q = q + step_size * v
             lp, g = vg_fn(q)
             v = v + step_size * g
-            return (i + 1, q, v, lp, g)
+            if record_uturn:
+                ut = jnp.where((ut == 0) & (uturn_proj(q, v) < 0),
+                               i + 1, ut)
+            return (i + 1, q, v, lp, g, ut)
     else:
         n_vec = jnp.reshape(n_steps, (-1,))
         cap = jnp.max(n_vec)
@@ -157,24 +184,31 @@ def leapfrog_batched(vg_fn: Callable, positions: jax.Array,
             # frozen chains (i >= their L) drift/kick by zero; vg_fn
             # re-evaluates at the unchanged position, so the endpoint
             # (lp, g) they carry out stays exact
-            i, q, v, _lp, _g = carry
+            i, q, v, _lp, _g, ut = carry
             act = (i < n_vec)[:, None]
             q = q + jnp.where(act, step_size * v, 0.0)
             lp, g = vg_fn(q)
             v = v + jnp.where(act, step_size * g, 0.0)
-            return (i + 1, q, v, lp, g)
+            if record_uturn:
+                ut = jnp.where((ut == 0) & act[:, 0]
+                               & (uturn_proj(q, v) < 0), i + 1, ut)
+            return (i + 1, q, v, lp, g, ut)
 
-    _, q, v, lp, g = lax.while_loop(
+    uturn0 = jnp.zeros(positions.shape[0], jnp.int32)
+    _, q, v, lp, g, uturn = lax.while_loop(
         cond, body, (jnp.asarray(0, jnp.int32), positions, momenta,
-                     lp0, g0))
+                     lp0, g0, uturn0))
     v = v - 0.5 * step_size * g
+    if record_uturn:
+        return q, v, lp, g, uturn
     return q, v, lp, g
 
 
 def hmc_step_batched(keys, positions: jax.Array, vg_fn: Callable,
                      step_size, n_leapfrog,
                      current_log_prob=None,
-                     step_scale=None) -> HMCResult:
+                     step_scale=None,
+                     record_uturn: bool = False) -> HMCResult:
     """One HMC transition over a (C, D) chain batch with per-chain keys.
 
     All per-chain quantities (momenta, energies, MH coins, accepts) are
@@ -189,11 +223,18 @@ def hmc_step_batched(keys, positions: jax.Array, vg_fn: Callable,
     diagonal mass ``m_i = 1/s_i^2`` (Neal 2011 §4.1 / Stan's diag_e
     metric): momenta and kinetic energy stay standard normal, so the MH
     correction is unchanged and detailed balance holds.
+
+    ``record_uturn``: populate ``HMCResult.uturn`` with each chain's
+    first U-turn step (see ``leapfrog_batched``; the check runs in the
+    metric-transformed space when ``step_scale`` is given).
     """
     if jnp.ndim(step_size) == 1:
         step_size = step_size[:, None]
+    inv_scale = None
     if step_scale is not None:
         step_size = step_size * jnp.reshape(step_scale, (1, -1))
+        if record_uturn:
+            inv_scale = 1.0 / jnp.reshape(step_scale, (-1,))
     keys2 = jax.vmap(lambda k: jax.random.split(k))(keys)   # (C, 2)
     key_mom, key_mh = keys2[:, 0], keys2[:, 1]
     momenta = jax.vmap(
@@ -204,8 +245,14 @@ def hmc_step_batched(keys, positions: jax.Array, vg_fn: Callable,
         current_log_prob, _ = vg_fn(positions)
 
     kinetic0 = 0.5 * jnp.sum(momenta * momenta, axis=-1)
-    q_new, v_new, lp_new, _ = leapfrog_batched(
-        vg_fn, positions, momenta, step_size, n_leapfrog)
+    uturn = None
+    if record_uturn:
+        q_new, v_new, lp_new, _, uturn = leapfrog_batched(
+            vg_fn, positions, momenta, step_size, n_leapfrog,
+            record_uturn=True, uturn_inv_scale=inv_scale)
+    else:
+        q_new, v_new, lp_new, _ = leapfrog_batched(
+            vg_fn, positions, momenta, step_size, n_leapfrog)
     kinetic1 = 0.5 * jnp.sum(v_new * v_new, axis=-1)
 
     log_accept_ratio = (lp_new - current_log_prob) + (kinetic0 - kinetic1)
@@ -219,7 +266,8 @@ def hmc_step_batched(keys, positions: jax.Array, vg_fn: Callable,
 
     positions = jnp.where(accepted[:, None], q_new, positions)
     log_prob = jnp.where(accepted, lp_new, current_log_prob)
-    return HMCResult(positions, log_prob, accept_prob, accepted)
+    return HMCResult(positions, log_prob, accept_prob, accepted,
+                     uturn=uturn)
 
 
 # -- pytree-state variant ------------------------------------------------------
@@ -266,7 +314,8 @@ def _tree_axpy(a, x_tree, y_tree, scale_tree=None):
 
 
 def leapfrog_tree(vg_fn: Callable, positions, momenta, step_size,
-                  n_steps, scale_tree=None) -> tuple:
+                  n_steps, scale_tree=None,
+                  record_uturn: bool = False) -> tuple:
     """Tree-state chain-batched leapfrog. ``vg_fn(tree) -> ((C,), tree)``.
 
     ``step_size`` may be a scalar or a per-chain ``(C,)`` vector;
@@ -274,9 +323,30 @@ def leapfrog_tree(vg_fn: Callable, positions, momenta, step_size,
     as in ``leapfrog_batched``). ``scale_tree`` is the per-coordinate
     diagonal-metric preconditioner (see ``hmc_step_batched``): every
     drift and kick uses ``eps * s_i``; momenta stay unit-normal.
+
+    ``record_uturn``: additionally returns the per-chain first-U-turn
+    step (see ``leapfrog_batched``; with ``scale_tree`` the projection
+    divides displacements by the metric scale leafwise).
     """
     lp0, g0 = vg_fn(positions)
     momenta = _tree_axpy(0.5 * step_size, g0, momenta, scale_tree)
+    q0 = positions
+    inv_scale_tree = (None if scale_tree is None else
+                      jax.tree.map(lambda s: 1.0 / s, scale_tree))
+
+    def uturn_proj(q, v):
+        total = None
+        invs = (jax.tree.leaves(inv_scale_tree)
+                if inv_scale_tree is not None else None)
+        for idx, (ql, q0l, vl) in enumerate(zip(
+                jax.tree.leaves(q), jax.tree.leaves(q0),
+                jax.tree.leaves(v))):
+            d = ql - q0l
+            if invs is not None:
+                d = d * invs[idx]
+            s = jnp.sum(d * vl, axis=tuple(range(1, d.ndim)))
+            total = s if total is None else total + s
+        return total
 
     if jnp.ndim(n_steps) == 0:
         def cond(carry):
@@ -284,11 +354,14 @@ def leapfrog_tree(vg_fn: Callable, positions, momenta, step_size,
             return i < n_steps
 
         def body(carry):
-            i, q, v, _lp, _g = carry
+            i, q, v, _lp, _g, ut = carry
             q = _tree_axpy(step_size, v, q, scale_tree)
             lp, g = vg_fn(q)
             v = _tree_axpy(step_size, g, v, scale_tree)
-            return (i + 1, q, v, lp, g)
+            if record_uturn:
+                ut = jnp.where((ut == 0) & (uturn_proj(q, v) < 0),
+                               i + 1, ut)
+            return (i + 1, q, v, lp, g, ut)
     else:
         n_vec = jnp.reshape(n_steps, (-1,))
         cap = jnp.max(n_vec)
@@ -299,30 +372,39 @@ def leapfrog_tree(vg_fn: Callable, positions, momenta, step_size,
             return i < cap
 
         def body(carry):
-            i, q, v, _lp, _g = carry
+            i, q, v, _lp, _g, ut = carry
             eff = jnp.where(i < n_vec, eps_vec, 0.0)
             q = _tree_axpy(eff, v, q, scale_tree)
             lp, g = vg_fn(q)
             v = _tree_axpy(eff, g, v, scale_tree)
-            return (i + 1, q, v, lp, g)
+            if record_uturn:
+                ut = jnp.where((ut == 0) & (i < n_vec)
+                               & (uturn_proj(q, v) < 0), i + 1, ut)
+            return (i + 1, q, v, lp, g, ut)
 
-    _, q, v, lp, g = lax.while_loop(
+    n_chains = jax.tree.leaves(positions)[0].shape[0]
+    uturn0 = jnp.zeros(n_chains, jnp.int32)
+    _, q, v, lp, g, uturn = lax.while_loop(
         cond, body, (jnp.asarray(0, jnp.int32), positions, momenta,
-                     lp0, g0))
+                     lp0, g0, uturn0))
     v = _tree_axpy(-0.5 * step_size, g, v, scale_tree)
+    if record_uturn:
+        return q, v, lp, g, uturn
     return q, v, lp, g
 
 
 def hmc_step_tree(keys, positions, vg_fn: Callable, step_size,
                   n_leapfrog, momentum_fn: Optional[Callable] = None,
-                  scale_tree=None) -> HMCResult:
+                  scale_tree=None,
+                  record_uturn: bool = False) -> HMCResult:
     """One HMC transition over a stacked-pytree chain batch.
 
     ``momentum_fn(chain_keys) -> tree`` optionally overrides momentum
     sampling — the tree chunk runner passes a flat-draw-then-unravel
     sampler so tree- and flat-layout runs consume identical PRNG streams
     (bitwise-comparable trajectories). ``scale_tree`` is the diagonal-
-    metric preconditioner (see ``leapfrog_tree``)."""
+    metric preconditioner (see ``leapfrog_tree``). ``record_uturn``
+    populates ``HMCResult.uturn`` (see ``hmc_step_batched``)."""
     keys2 = jax.vmap(lambda k: jax.random.split(k))(keys)
     key_mom, key_mh = keys2[:, 0], keys2[:, 1]
     momenta = (momentum_fn(key_mom) if momentum_fn is not None
@@ -330,9 +412,15 @@ def hmc_step_tree(keys, positions, vg_fn: Callable, step_size,
 
     current_log_prob, _ = vg_fn(positions)
     kinetic0 = 0.5 * _tree_sum_sq(momenta)
-    q_new, v_new, lp_new, _ = leapfrog_tree(
-        vg_fn, positions, momenta, step_size, n_leapfrog,
-        scale_tree=scale_tree)
+    uturn = None
+    if record_uturn:
+        q_new, v_new, lp_new, _, uturn = leapfrog_tree(
+            vg_fn, positions, momenta, step_size, n_leapfrog,
+            scale_tree=scale_tree, record_uturn=True)
+    else:
+        q_new, v_new, lp_new, _ = leapfrog_tree(
+            vg_fn, positions, momenta, step_size, n_leapfrog,
+            scale_tree=scale_tree)
     kinetic1 = 0.5 * _tree_sum_sq(v_new)
 
     log_accept_ratio = (lp_new - current_log_prob) + (kinetic0 - kinetic1)
@@ -350,4 +438,5 @@ def hmc_step_tree(keys, positions, vg_fn: Callable, step_size,
 
     positions = jax.tree.map(pick, q_new, positions)
     log_prob = jnp.where(accepted, lp_new, current_log_prob)
-    return HMCResult(positions, log_prob, accept_prob, accepted)
+    return HMCResult(positions, log_prob, accept_prob, accepted,
+                     uturn=uturn)
