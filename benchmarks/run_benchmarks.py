@@ -498,7 +498,7 @@ def bench_surrogate_quality(n_chains: int = 32, precondition: bool = False,
 
 
 def ess_run(n_chains: int = 64, n_adapters: int = 1,
-            epochs: int = 1300) -> dict:
+            epochs: int = 1300, trajectory: str = "adapter") -> dict:
     """The flagship config through the full adaptive driver, measured as
     quality-adjusted throughput. Returns a result dict (shared with the
     repo-root ``bench.py``, which embeds it in the driver-captured
@@ -534,7 +534,8 @@ def ess_run(n_chains: int = 64, n_adapters: int = 1,
     t0 = time.perf_counter()
     res = net.train(epochs, 2, FixedGaussianLikelihood(sd=0.1),
                     n_chains=n_chains, n_adapters=n_adapters,
-                    chain_jitter=0.05, tracer=tracer, verbose=False)
+                    chain_jitter=0.05, tracer=tracer,
+                    trajectory=trajectory, verbose=False)
     dt = time.perf_counter() - t0
 
     # ESS of a predictive summary (mean prediction at x=0.5) per chain
@@ -555,6 +556,7 @@ def ess_run(n_chains: int = 64, n_adapters: int = 1,
     return {
         "n_chains": n_chains,
         "n_adapters": n_adapters,
+        "trajectory": trajectory,
         "epochs": epochs,
         "ess_per_sec": round(total_ess / dt, 2),
         "total_ess": round(total_ess, 1),
@@ -771,6 +773,25 @@ def main():
         bench_ess(1024, n_adapters=8)
     if which == "ess_group_sweep":
         bench_ess_group_sweep()
+    if which == "ess_uturn":
+        # flagship fleet under NUTS-style dynamic lengths (note: bypasses
+        # the fused trajectory kernel, so it pays the slower potential
+        # path per kick — the comparison is quality-throughput, not
+        # steps/sec)
+        n = int(sys.argv[2]) if len(sys.argv) > 2 else 512
+        r = ess_run(n, 1, trajectory="uturn")
+        log(f"ess_uturn: {r['total_ess']} ESS in {r['wall_seconds']}s "
+            f"-> {r['ess_per_sec']}/s, accept {r['accept_post_burnin']}, "
+            f"final L {r['final_leapfrog']}")
+        print(json.dumps({
+            "metric": f"ESS/sec (predictive summary, {n} chains, "
+                      f"uturn dynamic trajectories, flagship MLP)",
+            "value": r["ess_per_sec"],
+            "unit": "effective samples/sec",
+            **{k: r[k] for k in ("total_ess", "min_param_ess",
+                                 "accept_post_burnin", "wall_seconds",
+                                 "final_leapfrog", "final_step_size")},
+        }))
     if which in ("writer", "all"):
         bench_writer()
     if which in ("predict", "all"):

@@ -424,6 +424,7 @@ def _likelihood_value_vg(ops, n: int, lik: str, q, x, y, sd):
 
 def _trajectory_kernel(ops, n: int, lik: str, prior_rows, sd_idx,
                        sd_const: float, per_chain: bool,
+                       record_uturn: bool,
                        theta_ref, mom_ref, eta_ref, x_ref, y_ref,
                        eps_ref, L_ref, *rest):
     """One full HMC trajectory per chain block, all in VMEM.
@@ -444,6 +445,9 @@ def _trajectory_kernel(ops, n: int, lik: str, prior_rows, sd_idx,
     proper density — distributions.py:70-86).
     """
     bc = theta_ref.shape[1]
+    ut_out = None
+    if record_uturn:
+        *rest, ut_out = rest
     if per_chain:
         lmax_ref, q_out, v_out, lp0_out, lp1_out = rest
         eps_v = eps_ref[0, :]                                  # (BC,)
@@ -521,9 +525,13 @@ def _trajectory_kernel(ops, n: int, lik: str, prior_rows, sd_idx,
     # == the standard half-kick/full-drift leapfrog with L_c drifts per
     # chain, run as one wave front to the block's max(L).
     zero = jnp.zeros((bc,), jnp.float32)
+    q0 = theta_ref[:] if record_uturn else None
 
     def body(i, carry):
-        q, v, lp0, _lp = carry
+        if record_uturn:
+            q, v, lp0, _lp, ut = carry
+        else:
+            q, v, lp0, _lp = carry
         lp, g = vg(q)
         lp0 = jnp.where(i == 0, lp, lp0)
         kick = jnp.where(i < l_v, eps_v, 0.0)
@@ -532,11 +540,33 @@ def _trajectory_kernel(ops, n: int, lik: str, prior_rows, sd_idx,
         if per_chain:
             kick, drift = kick[None, :], drift[None, :]
         v = v + kick * g
+        if record_uturn:
+            # U-turn check pairing the post-drift position of the
+            # previous iteration with this iteration's full-kick
+            # momentum — at i == L the kernel's kick is the final half
+            # kick, so the other half is added back for the projection,
+            # matching leapfrog_batched's in-loop (q_i, v_{i+1/2})
+            # pairing (sampler/hmc.py); recorded step j covers
+            # j = 1..L_c, 0 = censored
+            half_fix = jnp.where(i == l_v, 0.5 * eps_v, 0.0)
+            if per_chain:
+                half_fix = half_fix[None, :]
+            v_rec = v + half_fix * g
+            proj = jnp.sum((q - q0) * v_rec, axis=0)           # (BC,)
+            ut = jnp.where((i >= 1) & (i <= l_v) & (ut == 0)
+                           & (proj < 0), i, ut)
         q = q + drift * v
+        if record_uturn:
+            return (q, v, lp0, lp, ut)
         return (q, v, lp0, lp)
 
-    q, v, lp0, lp = lax.fori_loop(
-        0, l_max + 1, body, (theta_ref[:], mom_ref[:], zero, zero))
+    init = (theta_ref[:], mom_ref[:], zero, zero)
+    if record_uturn:
+        init = init + (jnp.zeros((bc,), jnp.int32),)
+        q, v, lp0, lp, ut = lax.fori_loop(0, l_max + 1, body, init)
+        ut_out[0, :] = ut
+    else:
+        q, v, lp0, lp = lax.fori_loop(0, l_max + 1, body, init)
 
     q_out[:] = q
     v_out[:] = v
@@ -544,7 +574,8 @@ def _trajectory_kernel(ops, n: int, lik: str, prior_rows, sd_idx,
     lp1_out[0, :] = lp
 
 
-def trajectory_vmem_bytes(ops, n: int, block_c: int) -> int:
+def trajectory_vmem_bytes(ops, n: int, block_c: int,
+                          record_uturn: bool = False) -> int:
     """Trajectory kernel working set, calibrated against measured Mosaic
     stack footprints: the stack allocator keeps the vg graph's residual
     planes and every layer's unrolled input-row temporaries live
@@ -574,17 +605,24 @@ def trajectory_vmem_bytes(ops, n: int, block_c: int) -> int:
         planes += plane(d)
         max_d = max(max_d, d)
     per_vg = planes + temps + 2 * plane(max_d)   # residuals + temps + g
+    carry_planes = 14
+    if record_uturn:
+        # pinned start position + the (q - q0) * v_rec projection temps
+        carry_planes += 3
     floats = (per_vg                             # one inlined vg graph
-              + 14 * _pad(d_total, 8) * bc       # carry + theta/mom/prior
+              + carry_planes * _pad(d_total, 8) * bc
               + n * (_pad(d0, 128) + _pad(dk, 128)))
     return 4 * floats
 
 
 def make_fused_trajectory(ops, n_rows: int, *, lik: str, prior_rows,
                           sd_idx, sd_const: float, eta_dim: int,
-                          block_c: int = 512, interpret: bool = False):
+                          block_c: int = 512, interpret: bool = False,
+                          record_uturn: bool = False):
     """Builds ``traj(thetas (C,D), etas (C,H), momenta (C,D), x, y, eps,
-    L) -> (q (C,D), v (C,D), lp0 (C,), lp1 (C,))``."""
+    L) -> (q (C,D), v (C,D), lp0 (C,), lp1 (C,))`` — plus a trailing
+    ``uturn (C,) int32`` output with ``record_uturn`` (first U-turn step,
+    0 = censored; bitwise-matches ``leapfrog_batched``'s recording)."""
     ops = tuple(ops)
     n = int(n_rows)
     d0, dk, d_total = _program_dims(ops)
@@ -601,7 +639,7 @@ def make_fused_trajectory(ops, n_rows: int, *, lik: str, prior_rows,
         per_chain = (jnp.ndim(eps) > 0) or (jnp.ndim(n_leapfrog) > 0)
         kernel = functools.partial(
             _trajectory_kernel, ops, n, lik, tuple(prior_rows), sd_idx,
-            float(sd_const), per_chain)
+            float(sd_const), per_chain, record_uturn)
 
         grid = (c // bc,)
         block = lambda r: pl.BlockSpec((r, bc), lambda i: (0, i),  # noqa: E731
@@ -624,20 +662,30 @@ def make_fused_trajectory(ops, n_rows: int, *, lik: str, prior_rows,
             l_arr = jnp.asarray(n_leapfrog, jnp.int32).reshape(1, 1)
             extra_in = []
             el_specs = [smem(), smem()]
-        q_t, v_t, lp0, lp1 = pl.pallas_call(
+        out_specs = [block(d_total), block(d_total), block(1), block(1)]
+        out_shape = [
+            jax.ShapeDtypeStruct((d_total, c), jnp.float32),
+            jax.ShapeDtypeStruct((d_total, c), jnp.float32),
+            jax.ShapeDtypeStruct((1, c), jnp.float32),
+            jax.ShapeDtypeStruct((1, c), jnp.float32),
+        ]
+        if record_uturn:
+            out_specs = out_specs + [block(1)]
+            out_shape = out_shape + [
+                jax.ShapeDtypeStruct((1, c), jnp.int32)]
+        outs = pl.pallas_call(
             kernel,
             grid=grid,
             in_specs=[block(d_total), block(d_total), block(eta_dim),
                       full(n, d0), full(n, dk)] + el_specs,
-            out_specs=[block(d_total), block(d_total), block(1), block(1)],
-            out_shape=[
-                jax.ShapeDtypeStruct((d_total, c), jnp.float32),
-                jax.ShapeDtypeStruct((d_total, c), jnp.float32),
-                jax.ShapeDtypeStruct((1, c), jnp.float32),
-                jax.ShapeDtypeStruct((1, c), jnp.float32),
-            ],
+            out_specs=out_specs,
+            out_shape=out_shape,
             interpret=interpret,
         )(thetas.T, momenta.T, etas.T, x2, y2, eps_arr, l_arr, *extra_in)
+        if record_uturn:
+            q_t, v_t, lp0, lp1, ut = outs
+            return q_t.T, v_t.T, lp0[0], lp1[0], ut[0]
+        q_t, v_t, lp0, lp1 = outs
         return q_t.T, v_t.T, lp0[0], lp1[0]
 
     return traj
@@ -649,6 +697,7 @@ def try_build_fused_trajectory(model, likelihood, unravel_theta,
                                interpret: bool = False,
                                n_rows: Optional[int] = None,
                                require_profitable: bool = False,
+                               record_uturn: bool = False,
                                ) -> Optional[Callable]:
     """Pattern-matches (model, likelihood) for the full-trajectory kernel.
 
@@ -674,7 +723,9 @@ def try_build_fused_trajectory(model, likelihood, unravel_theta,
     n = int(n_rows if n_rows is not None else x.shape[0])
     if require_profitable and not fused_profitable(ops, n):
         return None
-    while trajectory_vmem_bytes(ops, n, block_c) > VMEM_LIMIT_BYTES:
+    while trajectory_vmem_bytes(ops, n, block_c,
+                                record_uturn=record_uturn) \
+            > VMEM_LIMIT_BYTES:
         if block_c <= 128:
             return None
         block_c = max(128, (block_c - 1) // 128 * 128)
@@ -733,7 +784,7 @@ def try_build_fused_trajectory(model, likelihood, unravel_theta,
     return make_fused_trajectory(
         ops, n, lik=lik, prior_rows=prior_rows, sd_idx=sd_idx,
         sd_const=sd_const, eta_dim=eta_dim, block_c=block_c,
-        interpret=interpret)
+        interpret=interpret, record_uturn=record_uturn)
 
 
 def verify_theta_layout(unravel_theta, ops) -> bool:

@@ -359,20 +359,22 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
             block_c=block_c, interpret=not on_tpu,
             axis_name=axis_name, n_rows=local_rows,
             require_profitable=auto)
-        if (mesh is None or mesh.shape[DATA_AXIS] == 1) \
-                and not traj_uturn:
+        if mesh is None or mesh.shape[DATA_AXIS] == 1:
             # whole-trajectory kernel: all L leapfrog steps in one Pallas
             # program. A psum cannot run inside it, so it needs the full
             # data batch on every device — true single-chip AND on
             # chain-only meshes (data axis 1: each chain shard holds the
-            # whole dataset, the production chain-parallel fleet layout)
+            # whole dataset, the production chain-parallel fleet layout).
+            # uturn mode builds the kernel's U-turn-recording program
+            # variant, so dynamic trajectories keep the fast path
             from tensorbnn_tpu.ops.fused_mlp import \
                 try_build_fused_trajectory
             batched_main_traj = try_build_fused_trajectory(
                 model, likelihood, flat.unravel_theta, flat.unravel_eta,
                 x_train, y_train, eta_dim=flat.eta.size,
                 block_c=block_c, interpret=not on_tpu,
-                n_rows=local_rows, require_profitable=auto)
+                n_rows=local_rows, require_profitable=auto,
+                record_uturn=traj_uturn)
         if verbose:
             if batched_main_traj is not None:
                 print("fused Pallas trajectory kernel enabled")

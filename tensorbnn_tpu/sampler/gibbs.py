@@ -122,6 +122,7 @@ def make_epoch_fn(model: Sequential, likelihood: Likelihood, x, y,
         # -- main block: HMC over params given current hypers ----------------
         # (the trajectory kernel takes a scalar eps in SMEM; the driver
         # never combines it with a per-coordinate step_scale)
+        main_uturn = None
         if batched_main_traj is not None:
             # same per-chain PRNG substreams as hmc_step_batched
             km2 = jax.vmap(lambda k: jax.random.split(k))(k_main)
@@ -129,8 +130,14 @@ def make_epoch_fn(model: Sequential, likelihood: Likelihood, x, y,
             momenta = jax.vmap(
                 lambda k: jax.random.normal(k, carry.theta.shape[1:],
                                             carry.theta.dtype))(key_mom)
-            q_new, v_new, lp0, lp1 = batched_main_traj(
-                carry.theta, eta, momenta, x, y, step_size, leapfrog)
+            if record_uturn:
+                # the kernel records the U-turn step in-program (built
+                # with record_uturn=True by the driver)
+                q_new, v_new, lp0, lp1, main_uturn = batched_main_traj(
+                    carry.theta, eta, momenta, x, y, step_size, leapfrog)
+            else:
+                q_new, v_new, lp0, lp1 = batched_main_traj(
+                    carry.theta, eta, momenta, x, y, step_size, leapfrog)
             kinetic0 = 0.5 * jnp.sum(momenta * momenta, axis=-1)
             kinetic1 = 0.5 * jnp.sum(v_new * v_new, axis=-1)
             lar = (lp1 - lp0) + (kinetic0 - kinetic1)
@@ -142,7 +149,7 @@ def make_epoch_fn(model: Sequential, likelihood: Likelihood, x, y,
             accepted = log_u < lar
             new_theta = jnp.where(accepted[:, None], q_new, carry.theta)
             main = HMCResult(new_theta, jnp.where(accepted, lp1, lp0),
-                             accept_prob, accepted)
+                             accept_prob, accepted, uturn=main_uturn)
         else:
             main = hmc_step_batched(
                 k_main, carry.theta,

@@ -237,6 +237,118 @@ def test_trajectory_per_chain_matches_independent_runs():
                                    rtol=1e-4, atol=1e-3)
 
 
+def test_trajectory_uturn_matches_xla():
+    """record_uturn=True: the kernel's in-program first-U-turn step equals
+    leapfrog_batched's recording (same (q_i, v_{i+1/2}) pairing) on a
+    trajectory long enough to actually U-turn."""
+    model = Sequential([GaussianDenseLayer(1, 6), Tanh(),
+                        GaussianDenseLayer(6, 1)])
+    lik = FixedGaussianLikelihood(sd=0.1)
+    x, y, flat = _setup(model, lik)
+    c = 4
+    traj = try_build_fused_trajectory(
+        model, lik, flat.unravel_theta, flat.unravel_eta, x, y,
+        eta_dim=flat.eta.size, block_c=c, interpret=True,
+        record_uturn=True)
+    assert traj is not None
+
+    rng = np.random.default_rng(7)
+    thetas = jnp.asarray(
+        0.3 * rng.normal(size=(c, flat.theta.size)), jnp.float32)
+    etas = jnp.tile(flat.eta[None], (c, 1))
+    momenta = jnp.asarray(rng.normal(size=thetas.shape), jnp.float32)
+    eps, L = 5e-3, 60   # stable trajectory; U-turns at ~step 17, one
+    # chain censored within L (probed)
+
+    q_f, v_f, lp0_f, lp1_f, ut_f = traj(
+        thetas, etas, momenta, x, y,
+        jnp.asarray(eps, jnp.float32), jnp.asarray(L, jnp.int32))
+
+    pots = make_potentials(model, lik, jnp.asarray(x), jnp.asarray(y),
+                           flat.unravel_theta, flat.unravel_eta)
+    vg = jax.vmap(pots.main_vg)
+    q_x, v_x, lp1_x, _, ut_x = leapfrog_batched(
+        lambda ths: vg(ths, etas), thetas, momenta,
+        jnp.asarray(eps), jnp.asarray(L, jnp.int32), record_uturn=True)
+
+    ut_x = np.asarray(ut_x)
+    assert (ut_x > 0).any() and (ut_x == 0).any()   # turns + censoring
+    np.testing.assert_array_equal(np.asarray(ut_f), ut_x)
+    np.testing.assert_allclose(np.asarray(q_f), np.asarray(q_x),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_trajectory_uturn_per_chain():
+    """record_uturn with per-chain (eps, L): frozen chains stay censored
+    past their own L and the recording matches the masked XLA path."""
+    model = Sequential([GaussianDenseLayer(1, 6), Tanh(),
+                        GaussianDenseLayer(6, 1)])
+    lik = FixedGaussianLikelihood(sd=0.1)
+    x, y, flat = _setup(model, lik)
+    c = 4
+    traj = try_build_fused_trajectory(
+        model, lik, flat.unravel_theta, flat.unravel_eta, x, y,
+        eta_dim=flat.eta.size, block_c=c, interpret=True,
+        record_uturn=True)
+    rng = np.random.default_rng(9)
+    thetas = jnp.asarray(
+        0.3 * rng.normal(size=(c, flat.theta.size)), jnp.float32)
+    etas = jnp.tile(flat.eta[None], (c, 1))
+    momenta = jnp.asarray(rng.normal(size=thetas.shape), jnp.float32)
+    eps = np.asarray([2e-2, 4e-2, 3e-2, 2.5e-2], np.float32)
+    L = np.asarray([50, 8, 30, 3], np.int32)
+
+    *_, ut_f = traj(thetas, etas, momenta, x, y,
+                    jnp.asarray(eps), jnp.asarray(L))
+
+    pots = make_potentials(model, lik, jnp.asarray(x), jnp.asarray(y),
+                           flat.unravel_theta, flat.unravel_eta)
+    vg = jax.vmap(pots.main_vg)
+    *_, ut_x = leapfrog_batched(
+        lambda ths: vg(ths, etas), thetas, momenta,
+        jnp.asarray(eps)[:, None], jnp.asarray(L), record_uturn=True)
+
+    ut_f, ut_x = np.asarray(ut_f), np.asarray(ut_x)
+    np.testing.assert_array_equal(ut_f, ut_x)
+    # a recorded U-turn never exceeds the chain's own executed length
+    assert ((ut_f == 0) | (ut_f <= L)).all()
+
+
+def test_sampling_uturn_with_trajectory_matches_potential_path():
+    """trajectory='uturn' driver runs: fused trajectory kernel (in-program
+    U-turn recording) vs the XLA path, identical PRNG streams -> the host
+    UTurnAdapter sees identical observations and the chains match."""
+    from tensorbnn_tpu.network import Network
+    from tensorbnn_tpu.ops import fused_mlp
+
+    x = np.linspace(-1, 1, 9)
+    y = np.sin(x * math.pi)
+
+    def run(traj_on):
+        orig = fused_mlp.try_build_fused_trajectory
+        if not traj_on:
+            fused_mlp.try_build_fused_trajectory = lambda *a, **k: None
+        try:
+            net = Network(jnp.float32, 1, x, y, x, y, seed=11)
+            net.add(GaussianDenseLayer(1, 6)).add(Tanh())
+            net.add(GaussianDenseLayer(6, 1))
+            net.setup_mcmc(step_size_start=5e-3, leapfrog_start=8,
+                           leapfrog_min=2, leapfrog_max=64, burnin=12,
+                           averaging_steps=4, hyper_leapfrog=4,
+                           random_steps=1)
+            return net.train(28, 4, FixedGaussianLikelihood(sd=0.1),
+                             n_chains=2, trajectory="uturn",
+                             verbose=False, use_fused=True)
+        finally:
+            fused_mlp.try_build_fused_trajectory = orig
+
+    a = run(True)
+    b = run(False)
+    np.testing.assert_allclose(a.theta_samples, b.theta_samples,
+                               rtol=2e-3, atol=2e-4)
+    assert 0 < a.main_accept.mean() <= 1.0
+
+
 def test_trajectory_matches_xla_softmax_categorical():
     """Multiclass head (Softmax + CategoricalLikelihood) through the
     trajectory kernel: the fused logits-space tail matches the XLA
