@@ -754,7 +754,9 @@ def main():
                                 clip=(clip_lo, 1e2))
     if which == "surrogate_quality_uturn":
         precond = len(sys.argv) > 2 and sys.argv[2] == "precond"
-        bench_surrogate_quality(precondition=precond, uturn=True)
+        windows = int(sys.argv[3]) if len(sys.argv) > 3 else 1
+        bench_surrogate_quality(precondition=precond, uturn=True,
+                                windows=windows)
     if which in ("classification", "all"):
         bench_classification()
     if which in ("multiclass", "all"):
@@ -774,10 +776,9 @@ def main():
     if which == "ess_group_sweep":
         bench_ess_group_sweep()
     if which == "ess_uturn":
-        # flagship fleet under NUTS-style dynamic lengths (note: bypasses
-        # the fused trajectory kernel, so it pays the slower potential
-        # path per kick — the comparison is quality-throughput, not
-        # steps/sec)
+        # flagship fleet under NUTS-style dynamic lengths; runs through
+        # the fused trajectory kernel's record_uturn variant (the kernel
+        # records each chain's first U-turn step in-program)
         n = int(sys.argv[2]) if len(sys.argv) > 2 else 512
         r = ess_run(n, 1, trajectory="uturn")
         log(f"ess_uturn: {r['total_ess']} ESS in {r['wall_seconds']}s "

@@ -467,6 +467,15 @@ def _trajectory_kernel(ops, n: int, lik: str, prior_rows, sd_idx,
     else:
         sd = jnp.full((bc,), jnp.float32(sd_const))
 
+    # Negative result (measured): folding an all-Gaussian prior into two
+    # precomputed (D, BC) planes (value = const - 0.5 sum(dif^2 * iv),
+    # grad = -dif * iv; one fused elementwise pass per kick instead of
+    # per-block ops + an n-way gradient concat) is a dead heat — 9.82M
+    # vs 9.82M steps/sec at 64 chains and 32.69M vs 32.70M at 512 on the
+    # flagship. The per-block prior ops ride in the serial dense chain's
+    # pipeline bubbles; the kernel is latency-bound on that chain, not
+    # prior-op-count-bound (same finding as the tree-reduction
+    # experiment below). Not worth the two extra pinned VMEM planes.
     def prior_vg(qv):
         lp = jnp.zeros((bc,), jnp.float32)
         g_parts = []
