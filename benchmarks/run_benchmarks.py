@@ -455,6 +455,10 @@ def bench_surrogate_quality(n_chains: int = 32, precondition: bool = False,
                     precondition_windows=windows,
                     precondition_clip=clip,
                     trajectory="uturn" if uturn else "adapter",
+                    # axon kills the worker when one XLA execution runs
+                    # ~60-90s+; uturn's ratcheting lengths over the 1M-point
+                    # chunked likelihood cross that without the governor
+                    max_dispatch_seconds=25.0,
                     verbose=True)
     dt = time.perf_counter() - t0
 

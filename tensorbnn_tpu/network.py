@@ -155,6 +155,7 @@ class Network:
               checkpoint_dir=None,
               checkpoint_every: int = 0, tracer=None,
               keep_samples="auto",
+              max_dispatch_seconds: Optional[float] = None,
               **kwargs) -> RunResult:
         """Runs the sampler (reference ``network.train``, network.py:509).
 
@@ -194,7 +195,8 @@ class Network:
             trajectory=trajectory,
             checkpoint_dir=checkpoint_dir,
             checkpoint_every=checkpoint_every, tracer=tracer,
-            keep_samples=keep_samples, verbose=verbose)
+            keep_samples=keep_samples,
+            max_dispatch_seconds=max_dispatch_seconds, verbose=verbose)
         return self.results
 
     def predict(self, train: bool = True, params: Optional[tuple] = None):

@@ -155,6 +155,34 @@ class RunResult:
         return np.transpose(self.eta_samples, (1, 0, 2)).reshape(-1, h)
 
 
+def _plan_dispatch_pieces(work: np.ndarray, cost: float,
+                          budget: float) -> list:
+    """Splits a chunk of per-epoch work into dispatch pieces predicted to
+    stay under ``budget`` seconds at ``cost`` seconds per work unit.
+
+    Returns ``[(offset, n_epochs), ...]`` covering ``len(work)`` epochs in
+    order. A piece is either a whole in-budget remainder or a power of
+    two, so the distinct piece sizes a run can produce — each a separate
+    static-shape compile of the chunk runner — stay O(log chunk). Pieces
+    never go below one epoch: a single over-budget epoch is dispatched
+    anyway (the governor cannot split inside the epoch scan).
+    """
+    n_total = len(work)
+    pieces = []
+    off = 0
+    while off < n_total:
+        rem = n_total - off
+        if cost * float(np.sum(work[off:])) <= budget:
+            pieces.append((off, rem))
+            break
+        n = 1 << (rem.bit_length() - 1)
+        while n > 1 and cost * float(np.sum(work[off:off + n])) > budget:
+            n >>= 1
+        pieces.append((off, n))
+        off += n
+    return pieces
+
+
 def sample_posterior(model: Sequential, likelihood: Likelihood,
                      x_train, y_train, *,
                      config: MCMCConfig,
@@ -185,6 +213,7 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
                      trajectory: str = "adapter",
                      donate: bool = False,
                      keep_samples="auto",
+                     max_dispatch_seconds: Optional[float] = None,
                      verbose: bool = True) -> RunResult:
     """Runs the two-block adaptive HMC sampler.
 
@@ -245,6 +274,23 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
     stay traced, so the dynamics never recompile. Beyond the reference;
     requires ``n_adapters == 1``; the fused whole-trajectory Pallas
     kernel is bypassed (the potential kernel still engages).
+
+    ``max_dispatch_seconds``: wall-time budget for a single dispatched
+    chunk execution. Some runtimes kill a device worker whose single XLA
+    execution runs too long (the axon-tunneled TPU in this environment
+    faults somewhere between ~60 and ~90 seconds — measured with a
+    content-free matmul loop); long-trajectory big-data chunks (e.g.
+    NUTS-style lengths over a chunked 1M-point likelihood) can cross
+    that. When set, the driver learns the warm per-leapfrog-epoch cost
+    from measured dispatch walls and splits any chunk predicted to
+    exceed the budget into power-of-two sub-dispatches (so the set of
+    distinct static chunk sizes — and therefore remote compiles — stays
+    O(log chunk)). The split changes only the dispatch pattern: every
+    epoch runs the same (step size, leapfrog) and the carry evolves
+    through the same scan steps, so results are bit-identical to an
+    ungoverned run. The first dispatch of each size runs unguarded
+    (its wall includes the compile, which would corrupt the cost
+    estimate), so start schedules with short trajectories.
     """
     t_start = time.time()
     if n_adapters < 1 or n_chains % n_adapters:
@@ -637,6 +683,12 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
                 "fingerprint": fingerprint})
 
     chunks_done = 0
+    # dispatch-time governor state (see max_dispatch_seconds above):
+    # warm seconds per main-leapfrog-epoch, and the static chunk sizes
+    # already compiled (their first walls include the compile and are
+    # excluded from the estimate)
+    disp_cost = None
+    disp_sizes_seen = set()
     while iter_ < epochs:
         if (precond_at is not None and windows_fired < len(precond_epochs)
                 and iter_ >= precond_epochs[windows_fired]):
@@ -695,15 +747,46 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
             eps_arg = jnp.asarray(np.repeat(step_sizes, grp_chains), dtype)
             leap_arg = jnp.asarray(np.repeat(leapfrogs, grp_chains),
                                    jnp.int32)
+        scale_arg = None
         if precond_at is not None:
             scale_arg = jnp.asarray(ones_scale if step_scale is None
                                     else step_scale)
-            carry, trace = run_chunk(
-                carry, x_train, y_train, eps_arg, leap_arg, scale_arg,
-                chunk)
+
+        # per-epoch main-chain work units for the dispatch governor: the
+        # straggler group's L is what the whole wave front pays
+        if traj_uturn:
+            disp_work = np.asarray(leap_vec, np.float64)
         else:
-            carry, trace = run_chunk(
-                carry, x_train, y_train, eps_arg, leap_arg, chunk)
+            disp_work = np.full(chunk, float(np.max(leapfrogs)))
+        pieces = [(0, chunk)]
+        if max_dispatch_seconds is not None and disp_cost is not None:
+            pieces = _plan_dispatch_pieces(disp_work, disp_cost,
+                                           max_dispatch_seconds)
+        sub_traces = []
+        for d_off, d_n in pieces:
+            d_leap = (leap_arg[d_off:d_off + d_n] if traj_uturn
+                      else leap_arg)
+            t_disp = time.perf_counter()
+            if scale_arg is not None:
+                carry, tr = run_chunk(carry, x_train, y_train, eps_arg,
+                                      d_leap, scale_arg, d_n)
+            else:
+                carry, tr = run_chunk(carry, x_train, y_train, eps_arg,
+                                      d_leap, d_n)
+            if max_dispatch_seconds is not None:
+                jax.block_until_ready(tr.sjd)
+                wall_d = time.perf_counter() - t_disp
+                if d_n in disp_sizes_seen:
+                    # warm execution: the wall is pure device+transfer
+                    # time (a first-of-size call includes the compile,
+                    # which would corrupt the cost estimate)
+                    disp_cost = wall_d / max(
+                        float(np.sum(disp_work[d_off:d_off + d_n])), 1.0)
+                disp_sizes_seen.add(d_n)
+            sub_traces.append(tr)
+        trace = (sub_traces[0] if len(sub_traces) == 1 else
+                 jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0),
+                              *sub_traces))
 
         sjd = np.asarray(trace.sjd)            # (chunk, C)
         if tracer is not None:
