@@ -76,6 +76,7 @@ def make_multichain_chunk_runner(model: Sequential, likelihood: Likelihood,
                                  donate: bool = True,
                                  batched_main_vg=None,
                                  batched_main_traj=None,
+                                 batched_hyper_traj=None,
                                  state_layout: str = "flat",
                                  per_chain_adapt: bool = False,
                                  data_chunk=None,
@@ -173,6 +174,7 @@ def make_multichain_chunk_runner(model: Sequential, likelihood: Likelihood,
                 burnin=burnin, mu=mu, axis_name=axis_name,
                 batched_main_vg=batched_main_vg,
                 batched_main_traj=batched_main_traj,
+                batched_hyper_traj=batched_hyper_traj,
                 eta_dim=carry.eta.shape[-1],
                 data_chunk=data_chunk,
                 step_scale=scale,

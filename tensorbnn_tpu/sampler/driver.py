@@ -440,6 +440,32 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
                                    and (big_model or big_data))
                         else "flat")
 
+    # fused hyper-trajectory kernel: all hyper_leapfrog steps of the
+    # stats-potential hyper block in one Mosaic program (the XLA
+    # while_loop runs them as hundreds of tiny latency-bound fusions on
+    # (C, H)-sized planes). Scope = the stats potential's; flat layout
+    # only (the tree layout keeps eta flat too, but its runs are
+    # big-data bound where the hyper block is negligible next to the
+    # likelihood).
+    batched_hyper_traj = None
+    if (adjust_hypers and state_layout == "flat"
+            and (use_fused is True
+                 or (use_fused == "auto" and on_tpu))):
+        from tensorbnn_tpu.ops.fused_hyper import \
+            try_build_fused_hyper_trajectory
+        if mesh is None:
+            block_ch = n_chains
+        else:
+            from tensorbnn_tpu.parallel.mesh import CHAIN_AXIS
+            block_ch = n_chains // mesh.shape[CHAIN_AXIS]
+        block_ch = block_ch if (block_ch <= 512 or block_ch % 512) else 512
+        batched_hyper_traj = try_build_fused_hyper_trajectory(
+            model, likelihood, flat.unravel_eta, flat.eta.size,
+            config.hyper_leapfrog, block_c=block_ch,
+            interpret=not on_tpu)
+        if verbose and batched_hyper_traj is not None:
+            print("fused Pallas hyper-trajectory kernel enabled")
+
     def _build_runner(step_scale=None):
         return make_multichain_chunk_runner(
             model, likelihood, x_train, y_train,
@@ -454,6 +480,7 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
             donate=donate,
             batched_main_vg=batched_main_vg,
             batched_main_traj=batched_main_traj,
+            batched_hyper_traj=batched_hyper_traj,
             state_layout=state_layout,
             # exact chunked likelihood accumulation: bounds activation HBM
             # to chains x data_chunk x width for big-data runs (the fused

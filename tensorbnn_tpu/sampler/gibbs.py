@@ -74,6 +74,7 @@ def make_epoch_fn(model: Sequential, likelihood: Likelihood, x, y,
                   axis_name: Optional[str] = None,
                   batched_main_vg: Optional[Callable] = None,
                   batched_main_traj: Optional[Callable] = None,
+                  batched_hyper_traj: Optional[Callable] = None,
                   eta_dim: Optional[int] = None,
                   data_chunk: Optional[int] = None,
                   step_scale=None,
@@ -90,6 +91,11 @@ def make_epoch_fn(model: Sequential, likelihood: Likelihood, x, y,
     leapfrog-trajectory oracle ``f(thetas, etas, momenta, x, y, eps, L) ->
     (q, v, lp0, lp1)`` (the fused trajectory kernel); the MH accept stays
     here, drawing the identical PRNG stream as ``hmc_step_batched``.
+    ``batched_hyper_traj`` is the hyper-block analogue (the fused hyper
+    trajectory kernel, ops/fused_hyper.py): ``f(etas (C, H), stats,
+    momenta, eps (C,)) -> (q, v, lp0, lp1)`` — it consumes the stats
+    potential's sufficient statistics, so it only engages when the stats
+    form applies.
     """
     potentials = make_potentials(model, likelihood, x, y,
                                  unravel_theta, unravel_eta,
@@ -170,17 +176,39 @@ def make_epoch_fn(model: Sequential, likelihood: Likelihood, x, y,
 
         if adjust_hypers:
             # -- hyper block: HMC over hypers given new params ---------------
+            stats = None
             if stats_pair is not None:
                 stats_f, hyper_vg_stats = stats_pair
                 stats = stats_f(unravel_theta_b(theta))
-                hyper_vg_fn = lambda es: hyper_vg_stats(es, stats)  # noqa: E731
+            if batched_hyper_traj is not None and stats is not None:
+                # fused hyper-trajectory kernel; identical PRNG
+                # substreams and MH as hmc_step_batched
+                kh2 = jax.vmap(lambda k: jax.random.split(k))(k_hyper)
+                kh_mom, kh_mh = kh2[:, 0], kh2[:, 1]
+                h_mom = jax.vmap(
+                    lambda k: jax.random.normal(k, eta.shape[1:],
+                                                eta.dtype))(kh_mom)
+                hq, hv, hlp0, hlp1 = batched_hyper_traj(
+                    eta, stats, h_mom, hyper_step)
+                hk0 = 0.5 * jnp.sum(h_mom * h_mom, axis=-1)
+                hk1 = 0.5 * jnp.sum(hv * hv, axis=-1)
+                hlar = (hlp1 - hlp0) + (hk0 - hk1)
+                hlar = jnp.where(jnp.isnan(hlar), -jnp.inf, hlar)
+                hyper_accept = jnp.minimum(1.0, jnp.exp(hlar))
+                h_log_u = jnp.log(jax.vmap(
+                    lambda k: jax.random.uniform(k, (), eta.dtype))(
+                    kh_mh))
+                eta = jnp.where((h_log_u < hlar)[:, None], hq, eta)
             else:
-                hyper_vg_fn = lambda es: hyper_vg_b(es, theta)  # noqa: E731
-            hyper = hmc_step_batched(
-                k_hyper, eta, hyper_vg_fn,
-                hyper_step[:, None], hyper_leapfrog)
-            eta = hyper.position
-            hyper_accept = hyper.accept_prob
+                if stats is not None:
+                    hyper_vg_fn = lambda es: hyper_vg_stats(es, stats)  # noqa: E731
+                else:
+                    hyper_vg_fn = lambda es: hyper_vg_b(es, theta)  # noqa: E731
+                hyper = hmc_step_batched(
+                    k_hyper, eta, hyper_vg_fn,
+                    hyper_step[:, None], hyper_leapfrog)
+                eta = hyper.position
+                hyper_accept = hyper.accept_prob
 
             # -- dual averaging (reference network.py:457-469), per chain ----
             m = carry.epoch + 1.0

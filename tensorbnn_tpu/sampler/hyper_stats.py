@@ -39,23 +39,21 @@ def _clip_sd(s):
     return jnp.clip(s, 1e-8, 1e8)
 
 
-def make_stats_hyper(model, likelihood, x, y, unravel_eta,
-                     eta_dim: int,
-                     axis_name: Optional[str] = None,
-                     data_chunk: Optional[int] = None
-                     ) -> Optional[Tuple[Callable, Callable]]:
-    """Builds ``(stats_fn, hyper_vg)`` or returns None when out of scope.
+def probe_stats_layout(model, likelihood, unravel_eta, eta_dim: int):
+    """Probes whether the sufficient-statistics hyper potential applies.
 
-    * ``stats_fn(params_tree_batched) -> stats (C, S)`` — per-chain
-      sufficient statistics (call once per epoch, after the main block).
-    * ``hyper_vg(etas (C, H), stats) -> ((C,), (C, H))`` — value and grad
-      of the hyper potential, exactly matching
-      ``sampler.potential.Potentials.hyper_vg``.
+    Returns ``(dense_layers, coupled, sd_idx)`` — ``dense_layers`` a list
+    of ``(layer_index, eta-idx dict, k_w, k_b)`` in model order — or None
+    when out of scope. The stats row contract shared by ``make_stats_hyper``
+    and the fused hyper-trajectory kernel (ops/fused_hyper.py): four rows
+    per dense block in this order ``(S1_w, S2_w, S1_b, S2_b)``, then, when
+    ``coupled``, the residual power ``R`` and the event count ``K``.
 
     Scope: every hyper-carrying layer is a GaussianDenseLayer; likelihood
-    is FixedGaussian/Bernoulli (no coupling) or the learned-sd Gaussian
-    (couples through R). Cauchy priors and sampled activation slopes are
-    not quadratic in theta and fall back to the generic potential.
+    is FixedGaussian/Bernoulli/Categorical (no coupling) or the learned-sd
+    Gaussian (couples through R). Cauchy priors and sampled activation
+    slopes are not quadratic in theta and fall back to the generic
+    potential.
     """
     from tensorbnn_tpu.likelihoods import BernoulliLikelihood, \
         CategoricalLikelihood, FixedGaussianLikelihood, GaussianLikelihood
@@ -103,6 +101,28 @@ def make_stats_hyper(model, likelihood, x, y, unravel_eta,
         return None
     if likelihood.main_probs_in_hypers != coupled:
         return None  # unexpected coupling contract
+    return dense_layers, coupled, sd_idx
+
+
+def make_stats_hyper(model, likelihood, x, y, unravel_eta,
+                     eta_dim: int,
+                     axis_name: Optional[str] = None,
+                     data_chunk: Optional[int] = None
+                     ) -> Optional[Tuple[Callable, Callable]]:
+    """Builds ``(stats_fn, hyper_vg)`` or returns None when out of scope.
+
+    * ``stats_fn(params_tree_batched) -> stats (C, S)`` — per-chain
+      sufficient statistics (call once per epoch, after the main block).
+    * ``hyper_vg(etas (C, H), stats) -> ((C,), (C, H))`` — value and grad
+      of the hyper potential, exactly matching
+      ``sampler.potential.Potentials.hyper_vg``.
+
+    Scope: see :func:`probe_stats_layout`.
+    """
+    layout = probe_stats_layout(model, likelihood, unravel_eta, eta_dim)
+    if layout is None:
+        return None
+    dense_layers, coupled, sd_idx = layout
 
     # likelihood event count: rows x final output width (gaussian_logprob's
     # k counts every element of the broadcast sigma, likelihoods.py:63-67)
