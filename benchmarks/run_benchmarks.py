@@ -406,6 +406,8 @@ def bench_surrogate_quality(n_chains: int = 32, precondition: bool = False,
     # mode and the adapter's step search is about curvature, not transit
     from tensorbnn_tpu.training.pretrain import dense_warm_start, \
         train_basic_regression
+    log("surrogate_quality: data built, pretraining (silent, remote "
+        "compiles + ~500 tunnel dispatches — takes minutes)...")
     w, b, _ = train_basic_regression(
         2, d_in, 1, width, cycles=1, epochs=4, alpha=0.1,
         train_in=x, train_out=y, val_in=x[:4096], val_out=y[:4096],
@@ -446,6 +448,7 @@ def bench_surrogate_quality(n_chains: int = 32, precondition: bool = False,
                        hyper_leapfrog=5, burnin=burnin, averaging_steps=10,
                        random_steps=5)
 
+    log("surrogate_quality: pretrain done, sampling...")
     epochs, sampling_step = 600, 2
     t0 = time.perf_counter()
     res = net.train(epochs, sampling_step, GaussianLikelihood(sd=0.1),
