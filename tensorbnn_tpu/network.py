@@ -152,6 +152,8 @@ class Network:
               precondition_clip=(1e-2, 1e2),
               precondition_windows: int = 1,
               trajectory: str = "adapter",
+              tempering: int = 1,
+              tempering_beta_min: float = 0.1,
               checkpoint_dir=None,
               checkpoint_every: int = 0, tracer=None,
               keep_samples="auto",
@@ -193,6 +195,8 @@ class Network:
             precondition_clip=precondition_clip,
             precondition_windows=precondition_windows,
             trajectory=trajectory,
+            tempering=tempering,
+            tempering_beta_min=tempering_beta_min,
             checkpoint_dir=checkpoint_dir,
             checkpoint_every=checkpoint_every, tracer=tracer,
             keep_samples=keep_samples,

@@ -83,7 +83,8 @@ def make_multichain_chunk_runner(model: Sequential, likelihood: Likelihood,
                                  step_scale=None,
                                  traced_step_scale: bool = False,
                                  record_uturn: bool = False,
-                                 per_epoch_leapfrog: bool = False):
+                                 per_epoch_leapfrog: bool = False,
+                                 tempering_beta=None):
     """Builds ``run_chunk(carry, x, y, step_size, leapfrog, n_epochs)`` over
     batched chains.
 
@@ -120,6 +121,14 @@ def make_multichain_chunk_runner(model: Sequential, likelihood: Likelihood,
     wave front per epoch; lengths stay traced, so drawing fresh ones
     every chunk never recompiles).
     """
+    if tempering_beta is not None and (mesh is not None
+                                       or state_layout == "tree"):
+        # v1 scope: replica swaps pair rung blocks across the chain axis;
+        # under a chain-sharded mesh those pairs straddle shard boundaries
+        # (a ppermute extension), and the tree layout's big-data runs are
+        # out of tempering's small-multimodal-model scope
+        raise ValueError("tempering requires mesh=None and the flat "
+                         "state layout")
     mu = math.log(100.0 * hyper_step_size_init)
 
     from jax.flatten_util import ravel_pytree
@@ -178,7 +187,8 @@ def make_multichain_chunk_runner(model: Sequential, likelihood: Likelihood,
                 eta_dim=carry.eta.shape[-1],
                 data_chunk=data_chunk,
                 step_scale=scale,
-                record_uturn=record_uturn)
+                record_uturn=record_uturn,
+                tempering_beta=tempering_beta)
 
             if per_epoch_leapfrog:
                 return lax.scan(

@@ -126,6 +126,8 @@ class RunResult:
     #: raw flat sample stacks: (S, C, D) / (S, C, H)
     theta_samples: np.ndarray = None
     eta_samples: np.ndarray = None
+    #: per-epoch replica-swap rate (fleet mean; None unless tempering > 1)
+    swap_accept: np.ndarray = None
 
     @property
     def theta_pooled(self) -> np.ndarray:
@@ -211,6 +213,8 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
                      precondition_clip=(1e-2, 1e2),
                      precondition_windows: int = 1,
                      trajectory: str = "adapter",
+                     tempering: int = 1,
+                     tempering_beta_min: float = 0.1,
                      donate: bool = False,
                      keep_samples="auto",
                      max_dispatch_seconds: Optional[float] = None,
@@ -275,6 +279,23 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
     requires ``n_adapters == 1``; the fused whole-trajectory Pallas
     kernel is bypassed (the potential kernel still engages).
 
+    ``tempering``: number of parallel-tempering rungs (1 = off). With
+    ``K > 1`` the fleet widens rung-major to ``K * n_chains`` replicas
+    integrating as one HMC wave front; rung 0 holds the ``n_chains``
+    posterior (cold) chains whose draws are the ones recorded, rung
+    ``K-1`` runs at ``beta = tempering_beta_min`` (likelihood nearly
+    off). Each epoch ends with an in-scan even/odd replica-swap move
+    (sampler/tempering.py), and every rung gets its own GP-UCB adapter
+    (the grouped-adaptation machinery with one group per rung) so hot
+    rungs learn the long steps their flat targets allow. This is the
+    multimodal-mixing lever — BNN posteriors carry sign-flip/permutation
+    mode copies a single-temperature chain cannot tunnel between (the
+    reference runs exactly one chain at one temperature). Requires
+    ``mesh=None`` (swaps would straddle chain shards; ppermute extension
+    path documented in parallel/chains.py), the flat state layout, and
+    is incompatible with ``trajectory='uturn'``, ``precondition``,
+    ``use_fused=True``, and ``n_adapters > 1`` (rungs own the groups).
+
     ``max_dispatch_seconds``: wall-time budget for a single dispatched
     chunk execution. Some runtimes kill a device worker whose single XLA
     execution runs too long (the axon-tunneled TPU in this environment
@@ -306,6 +327,47 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
             "trajectory='uturn' shares one dynamic length schedule "
             "across the fleet (one wave front); it is incompatible with "
             "n_adapters > 1")
+    if tempering < 1:
+        raise ValueError(f"tempering must be >= 1, got {tempering}")
+    tempering_beta = None
+    fleet_chains = n_chains
+    if tempering > 1:
+        if mesh is not None:
+            raise ValueError(
+                "tempering requires mesh=None: replica swaps pair rung "
+                "blocks across the chain axis and would straddle chain "
+                "shards (ppermute extension path documented in "
+                "parallel/chains.py)")
+        if traj_uturn:
+            raise ValueError(
+                "tempering is incompatible with trajectory='uturn' (the "
+                "shared U-turn schedule would mix feedback across "
+                "temperatures; each rung needs its own trajectory tuning, "
+                "which the per-rung GP adapters provide)")
+        if n_adapters != 1:
+            raise ValueError(
+                "tempering assigns one adapter group per rung; it is "
+                "incompatible with an explicit n_adapters > 1")
+        if precondition is not False and precondition is not None:
+            raise ValueError(
+                "tempering is incompatible with precondition: the "
+                "cross-chain spread mixes temperatures, and the diagonal "
+                "metric was measured to hurt multimodal targets "
+                "(benchmarks/PERF_NOTES.md)")
+        if use_fused is True:
+            raise ValueError(
+                "tempering is incompatible with use_fused=True: the "
+                "Pallas kernels bake the untempered potential; use "
+                "use_fused='auto' or False")
+        if state_layout == "tree":
+            raise ValueError(
+                "tempering requires the flat state layout")
+        use_fused = False
+        state_layout = "flat"
+        from tensorbnn_tpu.sampler.tempering import make_ladder
+        ladder = make_ladder(tempering, tempering_beta_min)
+        fleet_chains = n_chains * tempering
+        tempering_beta = (tempering, np.repeat(ladder, n_chains))
     x_train = jnp.asarray(x_train, dtype)
     y_train = jnp.asarray(y_train, dtype)
 
@@ -494,19 +556,22 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
             traced_step_scale=precond_at is not None,
             record_uturn=traj_uturn,
             per_epoch_leapfrog=traj_uturn,
-            per_chain_adapt=n_adapters > 1)
+            tempering_beta=tempering_beta,
+            # rung-major tempering reuses the grouped (per-chain eps/L)
+            # path: one adapter group per rung
+            per_chain_adapt=n_adapters > 1 or tempering > 1)
 
     step_scale = None  # (D,) numpy once estimated/restored
     ones_scale = np.ones(flat.theta.size, np.float32)
     run_chunk = _build_runner()
 
     carry = init_multichain_state(flat.theta, flat.eta, key,
-                                  config.hyper_step_size, n_chains,
+                                  config.hyper_step_size, fleet_chains,
                                   dtype, jitter=chain_jitter)
     if mesh is not None:
         carry = jax.device_put(carry, chain_sharding(mesh))
-    n_grp = n_adapters
-    grp_chains = n_chains // n_grp
+    n_grp = tempering if tempering > 1 else n_adapters
+    grp_chains = fleet_chains // n_grp
     adapters = [config.make_adapter(seed=config.adapter_seed + g
                                     if n_grp > 1 else None)
                 for g in range(n_grp)]
@@ -530,6 +595,7 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
     sjds: List[np.ndarray] = []
     main_accepts: List[np.ndarray] = []
     hyper_accepts: List[np.ndarray] = []
+    swap_accepts: List[np.ndarray] = []  # tempering only
 
     # memory policy: long wide multi-chain runs cannot buffer the whole
     # posterior on host (the reference streams to disk, network.py:647-663).
@@ -574,7 +640,10 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
                                    n_chains, sampling_step, dtype,
                                    n_adapters=n_adapters,
                                    precondition=fp_precond,
-                                   trajectory=trajectory)
+                                   trajectory=trajectory,
+                                   tempering=(
+                                       f"{tempering}@{tempering_beta_min:g}"
+                                       if tempering > 1 else None))
 
     # -- resume from a checkpoint if one exists ---------------------------------
     resumed = checkpoint.load_resume(checkpoint_dir) if checkpoint_dir \
@@ -829,12 +898,19 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
                                  float(leapfrogs.max()))
         m_acc = np.asarray(trace.main_accept)  # (chunk, C)
         h_acc = np.asarray(trace.hyper_accept)
-        sjd_mean = sjd.mean(axis=1)
-        # per-group mean SJD feeds each group's adapter
+        # per-group mean SJD feeds each group's adapter (full fleet; under
+        # tempering the groups ARE the rungs)
         sjd_grp = sjd.reshape(chunk, n_grp, grp_chains).mean(axis=2)
+        # recorded diagnostics cover the posterior (cold) chains only —
+        # hot tempering replicas sample flattened targets, not the
+        # posterior (no-op slice when tempering is off)
+        sjd_mean = sjd[:, :n_chains].mean(axis=1)
         sjds.append(sjd_mean)
-        main_accepts.append(m_acc.mean(axis=1))
-        hyper_accepts.append(h_acc.mean(axis=1))
+        main_accepts.append(m_acc[:, :n_chains].mean(axis=1))
+        hyper_accepts.append(h_acc[:, :n_chains].mean(axis=1))
+        if tempering > 1 and trace.swap_accept is not None:
+            swap_accepts.append(
+                np.asarray(trace.swap_accept).mean(axis=1))
 
         if traj_uturn:
             # replay the chunk through the U-turn schedule (DA step-size
@@ -856,8 +932,10 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
         rows = {}
         if need_rows:
             idx = jnp.asarray(sorted(need_rows))
-            th_rows = np.asarray(trace.theta[idx])
-            et_rows = np.asarray(trace.eta[idx])
+            # cold chains only (device-side slice: hot tempering replicas
+            # never cross the tunnel)
+            th_rows = np.asarray(trace.theta[idx, :n_chains])
+            et_rows = np.asarray(trace.eta[idx, :n_chains])
             rows = {j: (th_rows[k], et_rows[k])
                     for k, j in enumerate(sorted(need_rows))}
 
@@ -890,8 +968,10 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
                       float(np.mean(np.asarray(carry.hyper_step))))
                 print("leapfrog", int(leapfrogs[0]) if n_grp == 1
                       else [int(v) for v in leapfrogs])
-                print("Main acceptance", float(m_acc[j].mean()))
-                print("Hyper acceptance", float(h_acc[j].mean()))
+                print("Main acceptance", float(m_acc[j, :n_chains].mean()))
+                print("Hyper acceptance", float(h_acc[j, :n_chains].mean()))
+                if swap_accepts:
+                    print("Swap rate", float(swap_accepts[-1][j]))
                 if metric_list:
                     p = flat.unravel_theta(jnp.asarray(rows[j][0][0]))
                     preds_train = model.apply(p, x_train)
@@ -960,6 +1040,8 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
         else np.zeros(0),
         hyper_accept=np.concatenate(hyper_accepts) if hyper_accepts
         else np.zeros(0),
+        swap_accept=(np.concatenate(swap_accepts) if swap_accepts
+                     else None),
         final_step_size=float(np.mean(step_sizes)),
         final_leapfrog=int(round(float(np.mean(leapfrogs)))),
         final_hyper_step=float(np.mean(np.asarray(carry.hyper_step))),
@@ -979,7 +1061,8 @@ def _lik_hypers_from_eta(flat, eta_row):
 def _run_fingerprint(config: MCMCConfig, model, likelihood, flat,
                      n_chains: int, sampling_step: int, dtype,
                      n_adapters: int = 1, precondition=None,
-                     trajectory: str = "adapter") -> dict:
+                     trajectory: str = "adapter",
+                     tempering: Optional[str] = None) -> dict:
     """JSON-safe identity of a sampling run, for resume validation."""
     layers = []
     for layer in model.layers:
@@ -998,6 +1081,10 @@ def _run_fingerprint(config: MCMCConfig, model, likelihood, flat,
         fp = fp | {"precondition": precondition
                    if isinstance(precondition, str)
                    else int(precondition)}
+    if tempering is not None:
+        # "K@beta_min"; key absent when off so earlier checkpoints keep
+        # their fingerprint value
+        fp = fp | {"tempering": tempering}
     return fp | {
         "config": dataclasses.asdict(config),
         "layers": layers,

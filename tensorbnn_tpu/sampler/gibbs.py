@@ -27,6 +27,7 @@ from typing import Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from tensorbnn_tpu.likelihoods import Likelihood
 from tensorbnn_tpu.models.sequential import Sequential
@@ -63,6 +64,9 @@ class EpochTrace(NamedTuple):
     #: within L, or U-turn recording off) — feeds the driver's
     #: NUTS-style dynamic trajectory-length adaptation
     uturn: jax.Array = None  # (n_epochs, C)
+    #: replica-swap indicator per chain (1.0 = this chain exchanged state
+    #: this epoch; None when tempering is off) — sampler/tempering.py
+    swap_accept: jax.Array = None  # (n_epochs, C)
 
 
 def make_epoch_fn(model: Sequential, likelihood: Likelihood, x, y,
@@ -78,7 +82,8 @@ def make_epoch_fn(model: Sequential, likelihood: Likelihood, x, y,
                   eta_dim: Optional[int] = None,
                   data_chunk: Optional[int] = None,
                   step_scale=None,
-                  record_uturn: bool = False):
+                  record_uturn: bool = False,
+                  tempering_beta=None):
     """Builds ``epoch_fn(carry, step_size, leapfrog) -> (carry, trace_row)``
     over a chain-batched carry.
 
@@ -96,11 +101,31 @@ def make_epoch_fn(model: Sequential, likelihood: Likelihood, x, y,
     momenta, eps (C,)) -> (q, v, lp0, lp1)`` — it consumes the stats
     potential's sufficient statistics, so it only engages when the stats
     form applies.
+
+    ``tempering_beta``: per-chain ``(C,)`` inverse temperatures for
+    parallel tempering (sampler/tempering.py; rung-major over the chain
+    axis). When set, both HMC blocks target the power posterior
+    ``prior + beta * loglik`` and every epoch ends with an even/odd
+    replica-swap move (parity from the epoch counter). The fused kernels
+    bake the untempered potential, so the driver never combines them
+    with tempering.
     """
     potentials = make_potentials(model, likelihood, x, y,
                                  unravel_theta, unravel_eta,
                                  axis_name=axis_name,
                                  data_chunk=data_chunk)
+    tempered = tempering_beta is not None
+    if tempered:
+        # (n_rungs, per-rung betas already repeated per chain rung-major)
+        n_rungs, beta_full = tempering_beta
+        beta_np = np.asarray(beta_full, np.float32)
+        beta_c = jnp.asarray(beta_np)                  # (C,)
+        main_vg_bt = jax.vmap(potentials.main_vg_t, in_axes=(0, 0, 0))
+        hyper_vg_bt = jax.vmap(potentials.hyper_vg_t, in_axes=(0, 0, 0))
+        loglik_b = jax.vmap(potentials.loglik)
+        from tensorbnn_tpu.sampler.tempering import make_swap_fn
+        ladder = jnp.asarray(beta_np.reshape(n_rungs, -1)[:, 0])
+        swap_fn = make_swap_fn(ladder, n_rungs)
     if batched_main_vg is not None:
         main_vg_b = lambda ths, etas: batched_main_vg(ths, etas, x, y)  # noqa: E731
     else:
@@ -121,8 +146,10 @@ def make_epoch_fn(model: Sequential, likelihood: Likelihood, x, y,
     unravel_theta_b = jax.vmap(unravel_theta)
 
     def epoch_fn(carry: ChainState, step_size, leapfrog):
-        keys2 = jax.vmap(lambda k: jax.random.split(k, 3))(carry.key)
+        n_keys = 4 if tempered else 3
+        keys2 = jax.vmap(lambda k: jax.random.split(k, n_keys))(carry.key)
         key, k_main, k_hyper = keys2[:, 0], keys2[:, 1], keys2[:, 2]
+        k_swap = keys2[:, 3] if tempered else None
         eta = carry.eta
 
         # -- main block: HMC over params given current hypers ----------------
@@ -157,9 +184,12 @@ def make_epoch_fn(model: Sequential, likelihood: Likelihood, x, y,
             main = HMCResult(new_theta, jnp.where(accepted, lp1, lp0),
                              accept_prob, accepted, uturn=main_uturn)
         else:
+            if tempered:
+                main_vg_fn = lambda ths: main_vg_bt(ths, eta, beta_c)  # noqa: E731
+            else:
+                main_vg_fn = lambda ths: main_vg_b(ths, eta)  # noqa: E731
             main = hmc_step_batched(
-                k_main, carry.theta,
-                lambda ths: main_vg_b(ths, eta),
+                k_main, carry.theta, main_vg_fn,
                 step_size, leapfrog, step_scale=step_scale,
                 record_uturn=record_uturn)
         theta = main.position
@@ -176,8 +206,13 @@ def make_epoch_fn(model: Sequential, likelihood: Likelihood, x, y,
 
         if adjust_hypers:
             # -- hyper block: HMC over hypers given new params ---------------
+            # (tempered + likelihood-coupled hypers: the stats potential
+            # bakes the untempered likelihood term, so the generic
+            # tempered value-and-grad runs instead; uncoupled hyper
+            # potentials have no likelihood term and keep the stats path)
             stats = None
-            if stats_pair is not None:
+            if stats_pair is not None and not (
+                    tempered and likelihood.main_probs_in_hypers):
                 stats_f, hyper_vg_stats = stats_pair
                 stats = stats_f(unravel_theta_b(theta))
             if batched_hyper_traj is not None and stats is not None:
@@ -202,6 +237,8 @@ def make_epoch_fn(model: Sequential, likelihood: Likelihood, x, y,
             else:
                 if stats is not None:
                     hyper_vg_fn = lambda es: hyper_vg_stats(es, stats)  # noqa: E731
+                elif tempered:
+                    hyper_vg_fn = lambda es: hyper_vg_bt(es, theta, beta_c)  # noqa: E731
                 else:
                     hyper_vg_fn = lambda es: hyper_vg_b(es, theta)  # noqa: E731
                 hyper = hmc_step_batched(
@@ -220,6 +257,15 @@ def make_epoch_fn(model: Sequential, likelihood: Likelihood, x, y,
             hyper_step = jnp.where(m < burnin * 0.8,
                                    jnp.exp(log_eps_bar), hyper_step)
 
+        swapped = None
+        if tempered:
+            # -- replica swap (even/odd rung pairing by epoch parity) --------
+            # SJD above is already computed from the HMC move alone, so
+            # the adapter never sees a swap as a "jump"
+            ll = loglik_b(theta, eta)
+            parity = jnp.asarray(carry.epoch[0], jnp.int32)
+            theta, eta, swapped = swap_fn(k_swap, theta, eta, ll, parity)
+
         new_carry = ChainState(theta=theta, eta=eta, key=key,
                                hyper_step=hyper_step,
                                log_eps_bar=log_eps_bar, h=h,
@@ -228,7 +274,8 @@ def make_epoch_fn(model: Sequential, likelihood: Likelihood, x, y,
                            main_accept=main.accept_prob,
                            hyper_accept=hyper_accept,
                            uturn=(main.uturn if main.uturn is not None
-                                  else jnp.zeros_like(sjd, jnp.int32)))
+                                  else jnp.zeros_like(sjd, jnp.int32)),
+                           swap_accept=swapped)
         return new_carry, trace
 
     return epoch_fn

@@ -81,6 +81,15 @@ class Potentials(NamedTuple):
     main_vg: Callable
     #: hyper_vg(eta, theta) -> (value, grad wrt eta)
     hyper_vg: Callable
+    #: tempered targets for parallel tempering (sampler/tempering.py):
+    #: the *likelihood* term is raised to the inverse temperature beta
+    #: (a power posterior: prior + beta * loglik), priors untempered so
+    #: every rung's target stays proper. main_vg_t(theta, eta, beta),
+    #: hyper_vg_t(eta, theta, beta); loglik(theta, eta) -> scalar is the
+    #: raw (psum'd) data log-likelihood the replica-swap accept consumes.
+    main_vg_t: Optional[Callable] = None
+    hyper_vg_t: Optional[Callable] = None
+    loglik: Optional[Callable] = None
 
 
 def _chunked_loglik(model, likelihood, x, y,
@@ -198,4 +207,31 @@ def make_potentials(model: Sequential, likelihood: Likelihood,
 
     hyper, hyper_vg = _combine(hyper_local, hyper_rep, axis_name)
 
-    return Potentials(main, hyper, main_vg, hyper_vg)
+    # -- tempered variants (power posterior: prior + beta * loglik) ----------
+    # built from the same local/replicated split so the collective rule
+    # holds: the likelihood value+grad is psum'd BEFORE the beta scaling
+    # (beta is replicated per chain, so the order is equivalence, but the
+    # explicit psum of (value, grad) stays the single fused collective)
+    def main_vg_t(theta, eta, beta):
+        lv, lg = jax.value_and_grad(loglik_main)(theta, eta)
+        if axis_name:
+            lv, lg = lax.psum((lv, lg), axis_name)
+        rv, rg = jax.value_and_grad(prior_main)(theta, eta)
+        return rv + beta * lv, rg + beta * lg
+
+    def hyper_vg_t(eta, theta, beta):
+        rv, rg = jax.value_and_grad(hyper_rep)(eta, theta)
+        if likelihood.main_probs_in_hypers:
+            lv, lg = jax.value_and_grad(hyper_local)(eta, theta)
+            if axis_name:
+                lv, lg = lax.psum((lv, lg), axis_name)
+            rv, rg = rv + beta * lv, rg + beta * lg
+        return rv, rg
+
+    def loglik_value(theta, eta):
+        v = loglik_main(theta, eta)
+        return lax.psum(v, axis_name) if axis_name else v
+
+    return Potentials(main, hyper, main_vg, hyper_vg,
+                      main_vg_t=main_vg_t, hyper_vg_t=hyper_vg_t,
+                      loglik=loglik_value)
