@@ -50,6 +50,7 @@ def main():
     import jax.numpy as jnp
 
     import __graft_entry__ as graft
+    from tensorbnn_tpu.ops.fused_hyper import try_build_fused_hyper_trajectory
     from tensorbnn_tpu.ops.fused_mlp import try_build_fused_main_vg, \
         try_build_fused_trajectory
     from tensorbnn_tpu.parallel.chains import (
@@ -70,6 +71,7 @@ def main():
     # program — falling back to the per-step fused potential
     fused_vg = None
     fused_traj = None
+    fused_hyper = None
     if backend == "tpu":
         fused_traj = try_build_fused_trajectory(
             model, likelihood, flat.unravel_theta, flat.unravel_eta,
@@ -78,18 +80,27 @@ def main():
             fused_vg = try_build_fused_main_vg(
                 model, likelihood, flat.unravel_theta, flat.unravel_eta,
                 x, y, eta_dim=flat.eta.size, block_c=64)
+        # the hyper block's trajectory kernel (the product driver enables
+        # this automatically; the probe mirrors it so the wall clock's
+        # hyper-leapfrog share runs the same program)
+        fused_hyper = try_build_fused_hyper_trajectory(
+            model, likelihood, flat.unravel_eta, flat.eta.size,
+            hyper_leapfrog, block_c=64)
         log(f"fused Pallas: "
-            f"{'trajectory' if fused_traj else 'potential' if fused_vg else 'off'}")
+            f"{'trajectory' if fused_traj else 'potential' if fused_vg else 'off'}"
+            f"{' + hyper-trajectory' if fused_hyper else ''}")
 
-    def make_runner(batched_main_vg=None, batched_main_traj=None):
+    def make_runner(batched_main_vg=None, batched_main_traj=None,
+                    batched_hyper_traj=None):
         return make_multichain_chunk_runner(
             model, likelihood, x, y, flat.unravel_theta, flat.unravel_eta,
             adjust_hypers=True, hyper_leapfrog=hyper_leapfrog,
             burnin=1000.0, hyper_step_size_init=1e-3, mesh=None,
             donate=False, batched_main_vg=batched_main_vg,
-            batched_main_traj=batched_main_traj)
+            batched_main_traj=batched_main_traj,
+            batched_hyper_traj=batched_hyper_traj)
 
-    run = make_runner(fused_vg, fused_traj)
+    run = make_runner(fused_vg, fused_traj, fused_hyper)
     eps = jnp.asarray(step_size, jnp.float32)
     L = jnp.asarray(leapfrog, jnp.int32)
 

@@ -309,9 +309,12 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
     O(log chunk)). The split changes only the dispatch pattern: every
     epoch runs the same (step size, leapfrog) and the carry evolves
     through the same scan steps, so results are bit-identical to an
-    ungoverned run. The first dispatch of each size runs unguarded
-    (its wall includes the compile, which would corrupt the cost
-    estimate), so start schedules with short trajectories.
+    ungoverned run. Cost learning uses only warm walls (a
+    first-of-size dispatch includes its compile, which would corrupt
+    the estimate); until the first warm wall lands, chunks are
+    dispatched one epoch at a time — an unguarded full chunk could
+    already exceed the budget (the uturn censoring ratchet can inflate
+    trajectory lengths within the very first chunks).
     """
     t_start = time.time()
     if n_adapters < 1 or n_chains % n_adapters:
@@ -855,9 +858,21 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
         else:
             disp_work = np.full(chunk, float(np.max(leapfrogs)))
         pieces = [(0, chunk)]
-        if max_dispatch_seconds is not None and disp_cost is not None:
-            pieces = _plan_dispatch_pieces(disp_work, disp_cost,
-                                           max_dispatch_seconds)
+        if max_dispatch_seconds is not None:
+            if disp_cost is not None:
+                pieces = _plan_dispatch_pieces(disp_work, disp_cost,
+                                               max_dispatch_seconds)
+            elif chunk > 1:
+                # bootstrap: no cost estimate exists yet, and an
+                # unguarded full chunk can already exceed the budget —
+                # the uturn censoring ratchet inflates trajectory
+                # lengths within the very first chunks (observed: a
+                # 10-epoch uturn chunk over the chunked 1M-point
+                # likelihood ratcheted to L=64 ~ 64s, the axon worker
+                # was killed mid-execution and the client hung forever).
+                # Dispatch single epochs until a warm wall yields the
+                # cost estimate (piece 2 of this chunk is already warm).
+                pieces = [(j, 1) for j in range(chunk)]
         sub_traces = []
         for d_off, d_n in pieces:
             d_leap = (leap_arg[d_off:d_off + d_n] if traj_uturn
