@@ -16,6 +16,14 @@ a predictive summary, the *worst-coordinate* pooled parameter ESS, and the
 post-burn-in acceptance, so the driver-captured artifact itself carries
 the quality-adjusted evidence.
 
+The quality block carries both ``ess_per_sec`` (cold wall, as captured)
+and ``ess_per_sec_warm_est`` (wall minus the driver's compile-attributed
+seconds): axon cannot cache XLA compiles across processes, so every
+capture pays 25-55s of remote compiles with high run-to-run variance —
+the warm estimate is the steady-state figure a long-running production
+process converges to, derived from measured first-of-shape vs warm
+dispatch walls (sampler/driver.py RunResult.compile_wall_estimate).
+
 Configuration: the reference's bundled regression example (SURVEY.md #6 —
 the operative baseline config), i.e. a 3x10 tanh MLP over the 11-point trig
 dataset with the two-block sampler (hyper chain included), with the chain
@@ -159,8 +167,10 @@ def main():
     try:
         q = ess_run(n_chains=512, n_adapters=4)
         log(f"quality: {q['total_ess']} effective samples "
-            f"({q['ess_per_sec']}/sec) in {q['wall_seconds']}s, "
-            f"accept {q['accept_post_burnin']}, "
+            f"({q['ess_per_sec']}/sec cold, "
+            f"{q['ess_per_sec_warm_est']}/sec warm-adjusted — "
+            f"{q['compile_wall_seconds']}s of remote compiles) in "
+            f"{q['wall_seconds']}s, accept {q['accept_post_burnin']}, "
             f"min-param ESS {q['min_param_ess']}")
     except Exception as e:  # noqa: BLE001 — a transient tunnel/backend
         # failure in the 2-minute quality pass must not cost the whole

@@ -128,6 +128,17 @@ class RunResult:
     eta_samples: np.ndarray = None
     #: per-epoch replica-swap rate (fleet mean; None unless tempering > 1)
     swap_accept: np.ndarray = None
+    #: wall seconds attributed to XLA compiles of the chunk runner (each
+    #: distinct dispatch shape compiles once; estimated as the excess of
+    #: every first-of-shape dispatch wall over the warm cost of the same
+    #: work). 0.0 when no warm dispatch exists to calibrate against.
+    #: ``wall_time - compile_wall_estimate`` approximates the steady-state
+    #: wall a warm process would pay — the honest denominator for
+    #: throughput metrics on backends where compiles cannot be cached
+    #: across processes (axon: 5-460s per shape, CLAUDE.md).
+    compile_wall_estimate: float = 0.0
+    #: number of first-of-shape (compiling) dispatches observed
+    n_dispatch_compiles: int = 0
 
     @property
     def theta_pooled(self) -> np.ndarray:
@@ -788,6 +799,11 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
     # excluded from the estimate)
     disp_cost = None
     disp_sizes_seen = set()
+    # per-dispatch (work, wall) split by compile temperature: a dispatch
+    # size seen before runs warm; a first-of-size dispatch pays the
+    # remote compile. Feeds RunResult.compile_wall_estimate.
+    disp_first_walls = []
+    disp_warm_walls = []
     while iter_ < epochs:
         if (precond_at is not None and windows_fired < len(precond_epochs)
                 and iter_ >= precond_epochs[windows_fired]):
@@ -884,16 +900,21 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
             else:
                 carry, tr = run_chunk(carry, x_train, y_train, eps_arg,
                                       d_leap, d_n)
-            if max_dispatch_seconds is not None:
-                jax.block_until_ready(tr.sjd)
-                wall_d = time.perf_counter() - t_disp
-                if d_n in disp_sizes_seen:
-                    # warm execution: the wall is pure device+transfer
-                    # time (a first-of-size call includes the compile,
-                    # which would corrupt the cost estimate)
-                    disp_cost = wall_d / max(
-                        float(np.sum(disp_work[d_off:d_off + d_n])), 1.0)
-                disp_sizes_seen.add(d_n)
+            # blocking here costs nothing extra: the host consumes
+            # trace.sjd synchronously right after the pieces loop anyway
+            jax.block_until_ready(tr.sjd)
+            wall_d = time.perf_counter() - t_disp
+            work_d = float(np.sum(disp_work[d_off:d_off + d_n]))
+            if d_n in disp_sizes_seen:
+                # warm execution: the wall is pure device+transfer time
+                # (a first-of-size call includes the compile, which
+                # would corrupt the cost estimate)
+                disp_warm_walls.append((work_d, wall_d))
+                if max_dispatch_seconds is not None:
+                    disp_cost = wall_d / max(work_d, 1.0)
+            else:
+                disp_first_walls.append((work_d, wall_d))
+            disp_sizes_seen.add(d_n)
             sub_traces.append(tr)
         trace = (sub_traces[0] if len(sub_traces) == 1 else
                  jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0),
@@ -1046,6 +1067,18 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
         checkpoint.save_samples(
             folder_name, param_samples, hyper_samples, lik_hyper_samples)
 
+    # compile-attributed wall: excess of each first-of-shape dispatch
+    # over the warm cost of the same work (median warm sec/work-unit).
+    # Needs at least one warm dispatch to calibrate; single-chunk runs
+    # report 0.0 rather than guess.
+    compile_wall = 0.0
+    if disp_first_walls and disp_warm_walls:
+        warm_cost = float(np.median(
+            [w / max(k, 1.0) for k, w in disp_warm_walls]))
+        compile_wall = float(sum(
+            max(0.0, w - warm_cost * max(k, 1.0))
+            for k, w in disp_first_walls))
+
     return RunResult(
         param_samples=param_samples,
         hyper_samples=hyper_samples,
@@ -1065,6 +1098,8 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
         wall_time=time.time() - t_start,
         theta_samples=theta_stack,
         eta_samples=eta_stack,
+        compile_wall_estimate=compile_wall,
+        n_dispatch_compiles=len(disp_first_walls),
     )
 
 

@@ -104,6 +104,17 @@ def test_governed_adapter_run_bit_identical():
     assert base.final_leapfrog == gov.final_leapfrog
 
 
+def test_compile_wall_accounting():
+    # each distinct dispatch shape compiles once; the driver attributes
+    # the first-of-shape excess wall to compiles so throughput metrics
+    # can report a warm-adjusted denominator (axon cannot cache compiles
+    # across processes). The estimate needs a warm dispatch to calibrate
+    # and can never exceed the run's wall.
+    res = _run(None, "adapter")
+    assert res.n_dispatch_compiles >= 1
+    assert 0.0 <= res.compile_wall_estimate < res.wall_time
+
+
 def test_governed_uturn_run_bit_identical():
     # uturn mode slices the per-epoch leapfrog vector across sub-dispatches
     # and feeds the U-turn schedule one merged trace per planned chunk, so
