@@ -705,6 +705,95 @@ def bench_predict():
     }))
 
 
+def bench_tempering(n_chains: int = 16, rungs: int = 8,
+                    epochs: int = 600):
+    """Parallel tempering on the sign-flip bimodal BNN (the
+    tests/test_tempering.py capability target: a 1-hidden-unit tanh net
+    whose posterior has exact mirrored mode copies behind a ~220-nat
+    likelihood wall — plain HMC never crosses; e^-220 tunneling).
+
+    Measures the three numbers that justify tempering's TPU-native
+    design (rung-major replicas on the *batched chain axis*,
+    sampler/tempering.py): (1) cold-chain mode coverage — both signs
+    visited, with the balance fraction; (2) the in-scan even/odd swap
+    acceptance; (3) the marginal wall of the rung axis — K x C replicas
+    pack the same 128-lane vector blocks a C-chain fleet under-fills,
+    so a K-rung ladder should cost far less than K x the plain wall
+    (the reference has no tempering at all; a per-replica-process
+    implementation pays K x by construction)."""
+    import jax.numpy as jnp
+
+    from tensorbnn_tpu import FixedGaussianLikelihood, GaussianDenseLayer, \
+        Tanh
+    from tensorbnn_tpu.network import Network
+
+    x = np.linspace(-1, 1, 8)
+    y = 1.5 * np.tanh(2.0 * x)
+    warm = ({"w": np.full((1, 1), 2.0, np.float32),
+             "b": np.zeros((1,), np.float32)},
+            {"w": np.full((1, 1), 1.5, np.float32),
+             "b": np.zeros((1,), np.float32)})
+    lik = FixedGaussianLikelihood(sd=0.15)
+
+    def build():
+        net = Network(jnp.float32, 1, x, y, x, y, seed=5)
+        net.add(GaussianDenseLayer(1, 1), parameters=warm[0]).add(Tanh())
+        net.add(GaussianDenseLayer(1, 1), parameters=warm[1])
+        net.setup_mcmc(step_size_start=1e-2, step_size_min=1e-3,
+                       step_size_max=0.2, step_size_options=15,
+                       leapfrog_start=8, leapfrog_min=2, leapfrog_max=20,
+                       leapfrog_increment=2, hyper_step_size=1e-2,
+                       hyper_leapfrog=5, burnin=50, averaging_steps=10,
+                       random_steps=3)
+        return net
+
+    t0 = time.perf_counter()
+    res_p = build().train(epochs, 2, lik, n_chains=n_chains,
+                          chain_jitter=0.0, verbose=False)
+    wall_plain = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    res_t = build().train(epochs, 2, lik, n_chains=n_chains,
+                          tempering=rungs, tempering_beta_min=0.01,
+                          chain_jitter=0.0, verbose=False)
+    wall_temp = time.perf_counter() - t0
+
+    # theta layout [b1, w1, b2, w2] (ravel_pytree sorts keys); w1 carries
+    # the mode's sign
+    w1_plain = res_p.theta_samples[..., 1]
+    w1_cold = res_t.theta_samples[..., 1]
+    neg_frac_plain = float((w1_plain < 0).mean())
+    neg_frac_temp = float((w1_cold < 0).mean())
+    swap = float(np.mean(res_t.swap_accept))
+    # warm-adjusted marginal cost of the rung axis: compile walls differ
+    # between the two programs (the tempered runner compiles the swap
+    # phase too), so compare steady-state walls
+    plain_warm = wall_plain - res_p.compile_wall_estimate
+    temp_warm = wall_temp - res_t.compile_wall_estimate
+    log(f"tempering: plain neg-mode frac {neg_frac_plain:.3f} "
+        f"(expected 0.0), tempered {neg_frac_temp:.3f} (ideal ~0.5), "
+        f"swap accept {swap:.3f}, wall plain {wall_plain:.1f}s "
+        f"({plain_warm:.1f}s warm) vs {rungs}-rung {wall_temp:.1f}s "
+        f"({temp_warm:.1f}s warm)")
+    print(json.dumps({
+        "metric": f"parallel-tempering rung-axis cost ({rungs} rungs x "
+                  f"{n_chains} chains, bimodal sign-flip BNN)",
+        "value": round(temp_warm / max(plain_warm, 1e-9), 3),
+        "unit": f"x plain-HMC wall (per-replica-process would pay "
+                f"{rungs}x)",
+        "neg_mode_fraction_plain": round(neg_frac_plain, 4),
+        "neg_mode_fraction_tempered": round(neg_frac_temp, 4),
+        "crossed_modes": bool((w1_cold < 0).any() and (w1_cold > 0).any()),
+        "swap_accept_mean": round(swap, 4),
+        "wall_plain_seconds": round(wall_plain, 1),
+        "wall_tempered_seconds": round(wall_temp, 1),
+        "wall_plain_warm_seconds": round(plain_warm, 1),
+        "wall_tempered_warm_seconds": round(temp_warm, 1),
+        "rungs": rungs,
+        "n_chains": n_chains,
+        "epochs": epochs,
+    }))
+
+
 def bench_writer(n_chains: int = 512):
     """Streaming-writer throughput at the wide-fleet configuration where
     streaming is mandatory (~2GB in-memory cutoff): RunWriter.append for
@@ -813,6 +902,11 @@ def main():
                                  "accept_post_burnin", "wall_seconds",
                                  "final_leapfrog", "final_step_size")},
         }))
+    if which == "tempering":
+        # optional args: rungs, chains
+        rungs = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+        chains = int(sys.argv[3]) if len(sys.argv) > 3 else 16
+        bench_tempering(n_chains=chains, rungs=rungs)
     if which in ("writer", "all"):
         bench_writer()
     if which in ("predict", "all"):

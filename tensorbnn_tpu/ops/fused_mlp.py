@@ -424,7 +424,7 @@ def _likelihood_value_vg(ops, n: int, lik: str, q, x, y, sd):
 
 def _trajectory_kernel(ops, n: int, lik: str, prior_rows, sd_idx,
                        sd_const: float, per_chain: bool,
-                       record_uturn: bool,
+                       record_uturn: bool, tempered: bool,
                        theta_ref, mom_ref, eta_ref, x_ref, y_ref,
                        eps_ref, L_ref, *rest):
     """One full HMC trajectory per chain block, all in VMEM.
@@ -448,6 +448,12 @@ def _trajectory_kernel(ops, n: int, lik: str, prior_rows, sd_idx,
     ut_out = None
     if record_uturn:
         *rest, ut_out = rest
+    beta_v = None
+    if tempered:
+        # per-chain inverse temperature lanes (parallel tempering's
+        # power posterior: prior + beta * loglik — sampler/tempering.py)
+        beta_ref, *rest = rest
+        beta_v = beta_ref[0, :]                                # (BC,)
     if per_chain:
         lmax_ref, q_out, v_out, lp0_out, lp1_out = rest
         eps_v = eps_ref[0, :]                                  # (BC,)
@@ -519,6 +525,8 @@ def _trajectory_kernel(ops, n: int, lik: str, prior_rows, sd_idx,
     def vg(qv):
         ll, g = _likelihood_value_vg(ops, n, lik, qv, x, y, sd)
         plp, pg = prior_vg(qv)
+        if tempered:
+            return beta_v * ll + plp, beta_v[None, :] * g + pg
         return ll + plp, g + pg
 
     # single-inline leapfrog: one vg graph instance in the program (a
@@ -584,7 +592,8 @@ def _trajectory_kernel(ops, n: int, lik: str, prior_rows, sd_idx,
 
 
 def trajectory_vmem_bytes(ops, n: int, block_c: int,
-                          record_uturn: bool = False) -> int:
+                          record_uturn: bool = False,
+                          tempered: bool = False) -> int:
     """Trajectory kernel working set, calibrated against measured Mosaic
     stack footprints: the stack allocator keeps the vg graph's residual
     planes and every layer's unrolled input-row temporaries live
@@ -618,6 +627,10 @@ def trajectory_vmem_bytes(ops, n: int, block_c: int,
     if record_uturn:
         # pinned start position + the (q - q0) * v_rec projection temps
         carry_planes += 3
+    if tempered:
+        # the beta_v[None, :] * g broadcast temporary (+ the beta input
+        # row, sub-plane-sized)
+        carry_planes += 2
     floats = (per_vg                             # one inlined vg graph
               + carry_planes * _pad(d_total, 8) * bc
               + n * (_pad(d0, 128) + _pad(dk, 128)))
@@ -627,16 +640,26 @@ def trajectory_vmem_bytes(ops, n: int, block_c: int,
 def make_fused_trajectory(ops, n_rows: int, *, lik: str, prior_rows,
                           sd_idx, sd_const: float, eta_dim: int,
                           block_c: int = 512, interpret: bool = False,
-                          record_uturn: bool = False):
+                          record_uturn: bool = False,
+                          tempered: bool = False):
     """Builds ``traj(thetas (C,D), etas (C,H), momenta (C,D), x, y, eps,
     L) -> (q (C,D), v (C,D), lp0 (C,), lp1 (C,))`` — plus a trailing
     ``uturn (C,) int32`` output with ``record_uturn`` (first U-turn step,
-    0 = censored; bitwise-matches ``leapfrog_batched``'s recording)."""
+    0 = censored; bitwise-matches ``leapfrog_batched``'s recording).
+
+    ``tempered=True`` builds the power-posterior program for parallel
+    tempering (sampler/tempering.py): ``traj`` takes a trailing ``betas
+    (C,)`` argument of per-chain inverse temperatures and integrates
+    ``prior + beta * loglik`` — the whole rung-major replica fleet rides
+    the single-program kernel, with beta as one more traced lane vector
+    (zero recompiles across ladders)."""
     ops = tuple(ops)
     n = int(n_rows)
     d0, dk, d_total = _program_dims(ops)
 
-    def traj(thetas, etas, momenta, x, y, eps, n_leapfrog):
+    def traj(thetas, etas, momenta, x, y, eps, n_leapfrog, betas=None):
+        if tempered and betas is None:
+            raise TypeError("tempered trajectory kernel requires betas")
         c = thetas.shape[0]
         bc = choose_block_c(c, block_c)
         x2 = jnp.asarray(x, jnp.float32).reshape(n, d0)
@@ -648,7 +671,7 @@ def make_fused_trajectory(ops, n_rows: int, *, lik: str, prior_rows,
         per_chain = (jnp.ndim(eps) > 0) or (jnp.ndim(n_leapfrog) > 0)
         kernel = functools.partial(
             _trajectory_kernel, ops, n, lik, tuple(prior_rows), sd_idx,
-            float(sd_const), per_chain, record_uturn)
+            float(sd_const), per_chain, record_uturn, tempered)
 
         grid = (c // bc,)
         block = lambda r: pl.BlockSpec((r, bc), lambda i: (0, i),  # noqa: E731
@@ -665,12 +688,21 @@ def make_fused_trajectory(ops, n_rows: int, *, lik: str, prior_rows,
                 jnp.asarray(n_leapfrog, jnp.int32).reshape(-1),
                 (c,)).reshape(1, c)
             extra_in = [jnp.max(l_arr).reshape(1, 1)]
-            el_specs = [block(1), block(1), smem()]
+            el_specs = [block(1), block(1)]
+            extra_specs = [smem()]
         else:
             eps_arr = jnp.asarray(eps, jnp.float32).reshape(1, 1)
             l_arr = jnp.asarray(n_leapfrog, jnp.int32).reshape(1, 1)
             extra_in = []
             el_specs = [smem(), smem()]
+            extra_specs = []
+        if tempered:
+            beta_in = [jnp.broadcast_to(
+                jnp.asarray(betas, jnp.float32).reshape(-1),
+                (c,)).reshape(1, c)]
+            beta_specs = [block(1)]
+        else:
+            beta_in, beta_specs = [], []
         out_specs = [block(d_total), block(d_total), block(1), block(1)]
         out_shape = [
             jax.ShapeDtypeStruct((d_total, c), jnp.float32),
@@ -686,11 +718,13 @@ def make_fused_trajectory(ops, n_rows: int, *, lik: str, prior_rows,
             kernel,
             grid=grid,
             in_specs=[block(d_total), block(d_total), block(eta_dim),
-                      full(n, d0), full(n, dk)] + el_specs,
+                      full(n, d0), full(n, dk)] + el_specs + beta_specs
+                     + extra_specs,
             out_specs=out_specs,
             out_shape=out_shape,
             interpret=interpret,
-        )(thetas.T, momenta.T, etas.T, x2, y2, eps_arr, l_arr, *extra_in)
+        )(thetas.T, momenta.T, etas.T, x2, y2, eps_arr, l_arr,
+          *beta_in, *extra_in)
         if record_uturn:
             q_t, v_t, lp0, lp1, ut = outs
             return q_t.T, v_t.T, lp0[0], lp1[0], ut[0]
@@ -707,6 +741,7 @@ def try_build_fused_trajectory(model, likelihood, unravel_theta,
                                n_rows: Optional[int] = None,
                                require_profitable: bool = False,
                                record_uturn: bool = False,
+                               tempered: bool = False,
                                ) -> Optional[Callable]:
     """Pattern-matches (model, likelihood) for the full-trajectory kernel.
 
@@ -733,7 +768,8 @@ def try_build_fused_trajectory(model, likelihood, unravel_theta,
     if require_profitable and not fused_profitable(ops, n):
         return None
     while trajectory_vmem_bytes(ops, n, block_c,
-                                record_uturn=record_uturn) \
+                                record_uturn=record_uturn,
+                                tempered=tempered) \
             > VMEM_LIMIT_BYTES:
         if block_c <= 128:
             return None
@@ -793,7 +829,8 @@ def try_build_fused_trajectory(model, likelihood, unravel_theta,
     return make_fused_trajectory(
         ops, n, lik=lik, prior_rows=prior_rows, sd_idx=sd_idx,
         sd_const=sd_const, eta_dim=eta_dim, block_c=block_c,
-        interpret=interpret, record_uturn=record_uturn)
+        interpret=interpret, record_uturn=record_uturn,
+        tempered=tempered)
 
 
 def verify_theta_layout(unravel_theta, ops) -> bool:

@@ -287,8 +287,8 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
     acceptance (Stan's warmup), and after burn-in each epoch draws its
     length from the learned U-turn distribution — lengths and step size
     stay traced, so the dynamics never recompile. Beyond the reference;
-    requires ``n_adapters == 1``; the fused whole-trajectory Pallas
-    kernel is bypassed (the potential kernel still engages).
+    requires ``n_adapters == 1``; runs through the fused trajectory
+    kernel's U-turn-recording program variant when the kernel engages.
 
     ``tempering``: number of parallel-tempering rungs (1 = off). With
     ``K > 1`` the fleet widens rung-major to ``K * n_chains`` replicas
@@ -303,9 +303,13 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
     mode copies a single-temperature chain cannot tunnel between (the
     reference runs exactly one chain at one temperature). Requires
     ``mesh=None`` (swaps would straddle chain shards; ppermute extension
-    path documented in parallel/chains.py), the flat state layout, and
-    is incompatible with ``trajectory='uturn'``, ``precondition``,
-    ``use_fused=True``, and ``n_adapters > 1`` (rungs own the groups).
+    path documented in parallel/chains.py) and the flat state layout,
+    and is incompatible with ``trajectory='uturn'``, ``precondition``,
+    and ``n_adapters > 1`` (rungs own the groups). The whole replica
+    fleet rides the fused trajectory kernel's power-posterior program
+    when it engages (beta as a traced lane vector); only the per-step
+    potential kernel — which bakes the untempered posterior — is
+    excluded.
 
     ``max_dispatch_seconds``: wall-time budget for a single dispatched
     chunk execution. Some runtimes kill a device worker whose single XLA
@@ -368,15 +372,9 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
                 "cross-chain spread mixes temperatures, and the diagonal "
                 "metric was measured to hurt multimodal targets "
                 "(benchmarks/PERF_NOTES.md)")
-        if use_fused is True:
-            raise ValueError(
-                "tempering is incompatible with use_fused=True: the "
-                "Pallas kernels bake the untempered potential; use "
-                "use_fused='auto' or False")
         if state_layout == "tree":
             raise ValueError(
                 "tempering requires the flat state layout")
-        use_fused = False
         state_layout = "flat"
         from tensorbnn_tpu.sampler.tempering import make_ladder
         ladder = make_ladder(tempering, tempering_beta_min)
@@ -460,11 +458,12 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
 
     batched_main_vg = None
     batched_main_traj = None
+    tempered_run = tempering > 1
     on_tpu = jax.default_backend() == "tpu"
     if use_fused is True or (use_fused == "auto" and on_tpu):
         from tensorbnn_tpu.ops.fused_mlp import try_build_fused_main_vg
         if mesh is None:
-            local_chains = n_chains
+            local_chains = fleet_chains
             local_rows = int(x_train.shape[0])
             axis_name = None
         else:
@@ -475,12 +474,16 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
         block_c = local_chains if (local_chains <= 512
                                    or local_chains % 512) else 512
         auto = use_fused == "auto"
-        batched_main_vg = try_build_fused_main_vg(
-            model, likelihood, flat.unravel_theta, flat.unravel_eta,
-            x_train, y_train, eta_dim=flat.eta.size,
-            block_c=block_c, interpret=not on_tpu,
-            axis_name=axis_name, n_rows=local_rows,
-            require_profitable=auto)
+        if not tempered_run:
+            # the per-step potential kernel bakes the untempered
+            # posterior; tempered fleets use the trajectory kernel's
+            # power-posterior program below or fall back to XLA
+            batched_main_vg = try_build_fused_main_vg(
+                model, likelihood, flat.unravel_theta, flat.unravel_eta,
+                x_train, y_train, eta_dim=flat.eta.size,
+                block_c=block_c, interpret=not on_tpu,
+                axis_name=axis_name, n_rows=local_rows,
+                require_profitable=auto)
         if mesh is None or mesh.shape[DATA_AXIS] == 1:
             # whole-trajectory kernel: all L leapfrog steps in one Pallas
             # program. A psum cannot run inside it, so it needs the full
@@ -496,7 +499,7 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
                 x_train, y_train, eta_dim=flat.eta.size,
                 block_c=block_c, interpret=not on_tpu,
                 n_rows=local_rows, require_profitable=auto,
-                record_uturn=traj_uturn)
+                record_uturn=traj_uturn, tempered=tempered_run)
         if verbose:
             if batched_main_traj is not None:
                 print("fused Pallas trajectory kernel enabled")
@@ -530,7 +533,7 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
         from tensorbnn_tpu.ops.fused_hyper import \
             try_build_fused_hyper_trajectory
         if mesh is None:
-            block_ch = n_chains
+            block_ch = fleet_chains
         else:
             from tensorbnn_tpu.parallel.mesh import CHAIN_AXIS
             block_ch = n_chains // mesh.shape[CHAIN_AXIS]

@@ -106,9 +106,11 @@ def make_epoch_fn(model: Sequential, likelihood: Likelihood, x, y,
     parallel tempering (sampler/tempering.py; rung-major over the chain
     axis). When set, both HMC blocks target the power posterior
     ``prior + beta * loglik`` and every epoch ends with an even/odd
-    replica-swap move (parity from the epoch counter). The fused kernels
-    bake the untempered potential, so the driver never combines them
-    with tempering.
+    replica-swap move (parity from the epoch counter). The trajectory
+    kernel supports tempering natively (built with ``tempered=True``,
+    beta as a traced lane vector); the per-step potential kernel
+    (``batched_main_vg``) bakes the untempered posterior, so the driver
+    never passes it for tempered runs.
     """
     potentials = make_potentials(model, likelihood, x, y,
                                  unravel_theta, unravel_eta,
@@ -163,14 +165,18 @@ def make_epoch_fn(model: Sequential, likelihood: Likelihood, x, y,
             momenta = jax.vmap(
                 lambda k: jax.random.normal(k, carry.theta.shape[1:],
                                             carry.theta.dtype))(key_mom)
+            # tempered runs ride the kernel's power-posterior program
+            # (built with tempered=True by the driver): beta is one more
+            # traced lane vector
+            t_args = (carry.theta, eta, momenta, x, y, step_size,
+                      leapfrog) + ((beta_c,) if tempered else ())
             if record_uturn:
                 # the kernel records the U-turn step in-program (built
                 # with record_uturn=True by the driver)
                 q_new, v_new, lp0, lp1, main_uturn = batched_main_traj(
-                    carry.theta, eta, momenta, x, y, step_size, leapfrog)
+                    *t_args)
             else:
-                q_new, v_new, lp0, lp1 = batched_main_traj(
-                    carry.theta, eta, momenta, x, y, step_size, leapfrog)
+                q_new, v_new, lp0, lp1 = batched_main_traj(*t_args)
             kinetic0 = 0.5 * jnp.sum(momenta * momenta, axis=-1)
             kinetic1 = 0.5 * jnp.sum(v_new * v_new, axis=-1)
             lar = (lp1 - lp0) + (kinetic0 - kinetic1)

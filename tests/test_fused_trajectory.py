@@ -358,3 +358,113 @@ def test_trajectory_matches_xla_softmax_categorical():
                         GaussianDenseLayer(6, 3), Softmax()])
     _compare(model, CategoricalLikelihood(), d_in=2, L=7, eps=2e-2,
              n_classes=3)
+
+
+def _tempered_compare(eps, L, seed=0):
+    """Tempered kernel program vs the XLA tempered potential
+    (power posterior: prior + beta * loglik) across one trajectory."""
+    model = Sequential([GaussianDenseLayer(1, 6), Tanh(),
+                        GaussianDenseLayer(6, 1)])
+    lik = FixedGaussianLikelihood(sd=0.1)
+    x, y, flat = _setup(model, lik, seed=seed)
+    c = 4
+    traj = try_build_fused_trajectory(
+        model, lik, flat.unravel_theta, flat.unravel_eta, x, y,
+        eta_dim=flat.eta.size, block_c=c, interpret=True, tempered=True)
+    assert traj is not None
+
+    rng = np.random.default_rng(seed + 1)
+    thetas = jnp.asarray(
+        0.3 * rng.normal(size=(c, flat.theta.size)), jnp.float32)
+    etas = jnp.tile(flat.eta[None], (c, 1))
+    momenta = jnp.asarray(rng.normal(size=thetas.shape), jnp.float32)
+    betas = jnp.asarray([1.0, 0.3, 0.06, 0.01], jnp.float32)
+
+    eps_in = jnp.asarray(eps, jnp.float32)
+    l_in = jnp.asarray(L, jnp.int32)
+    q_f, v_f, lp0_f, lp1_f = traj(thetas, etas, momenta, x, y,
+                                  eps_in, l_in, betas)
+
+    pots = make_potentials(model, lik, jnp.asarray(x), jnp.asarray(y),
+                           flat.unravel_theta, flat.unravel_eta)
+    vg_t = jax.vmap(pots.main_vg_t, in_axes=(0, 0, 0))
+    lp0_x, _ = vg_t(thetas, etas, betas)
+    eps_x = eps_in[:, None] if eps_in.ndim == 1 else eps_in
+    q_x, v_x, lp1_x, _ = leapfrog_batched(
+        lambda ths: vg_t(ths, etas, betas), thetas, momenta, eps_x, l_in)
+
+    np.testing.assert_allclose(np.asarray(lp0_f), np.asarray(lp0_x),
+                               rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(q_f), np.asarray(q_x),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(v_f), np.asarray(v_x),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(lp1_f), np.asarray(lp1_x),
+                               rtol=1e-4, atol=1e-2)
+
+
+def test_trajectory_tempered_matches_xla():
+    _tempered_compare(eps=1e-2, L=13)
+
+
+def test_trajectory_tempered_per_chain_eps_and_L():
+    """Tempered program combined with per-chain (eps, L) — the rung-major
+    tempered fleet always runs per-rung adapters, so this is the product
+    configuration."""
+    _tempered_compare(eps=np.asarray([5e-3, 1e-2, 2e-2, 8e-3], np.float32),
+                      L=np.asarray([3, 11, 7, 5], np.int32))
+
+
+def test_trajectory_tempered_requires_betas():
+    model = Sequential([GaussianDenseLayer(1, 6), Tanh(),
+                        GaussianDenseLayer(6, 1)])
+    lik = FixedGaussianLikelihood(sd=0.1)
+    x, y, flat = _setup(model, lik)
+    traj = try_build_fused_trajectory(
+        model, lik, flat.unravel_theta, flat.unravel_eta, x, y,
+        eta_dim=flat.eta.size, block_c=4, interpret=True, tempered=True)
+    rng = np.random.default_rng(1)
+    thetas = jnp.asarray(rng.normal(size=(4, flat.theta.size)), jnp.float32)
+    etas = jnp.tile(flat.eta[None], (4, 1))
+    import pytest
+    with pytest.raises(TypeError, match="betas"):
+        traj(thetas, etas, thetas, x, y,
+             jnp.asarray(1e-2, jnp.float32), jnp.asarray(3, jnp.int32))
+
+
+def test_tempered_sampling_fused_matches_xla_path():
+    """Full tempered driver run: fused trajectory kernel (interpret) vs
+    the XLA tempered potential path, identical PRNG streams -> identical
+    chains (within float drift), including the replica swaps."""
+    from tensorbnn_tpu.network import Network
+    from tensorbnn_tpu.ops import fused_mlp
+
+    x = np.linspace(-1, 1, 9)
+    y = np.sin(x * math.pi)
+
+    def run(traj_on):
+        orig = fused_mlp.try_build_fused_trajectory
+        if not traj_on:
+            fused_mlp.try_build_fused_trajectory = lambda *a, **k: None
+        try:
+            net = Network(jnp.float32, 1, x, y, x, y, seed=11)
+            net.add(GaussianDenseLayer(1, 6)).add(Tanh())
+            net.add(GaussianDenseLayer(6, 1))
+            net.setup_mcmc(step_size_start=1e-3, leapfrog_start=8,
+                           leapfrog_min=4, leapfrog_max=16, burnin=10,
+                           averaging_steps=5, hyper_leapfrog=4,
+                           random_steps=1)
+            return net.train(30, 4, FixedGaussianLikelihood(sd=0.1),
+                             n_chains=2, tempering=3,
+                             tempering_beta_min=0.05, verbose=False,
+                             use_fused=True)
+        finally:
+            fused_mlp.try_build_fused_trajectory = orig
+
+    a = run(True)
+    b = run(False)
+    np.testing.assert_allclose(a.theta_samples, b.theta_samples,
+                               rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(a.swap_accept, b.swap_accept,
+                               rtol=0, atol=0)
+    assert 0 < a.main_accept.mean() <= 1.0

@@ -168,9 +168,10 @@ def test_tempering_validation():
     with pytest.raises(ValueError, match="precondition"):
         net.train(10, 2, lik, n_chains=8, tempering=2, precondition=5,
                   verbose=False)
-    with pytest.raises(ValueError, match="use_fused"):
-        net.train(10, 2, lik, n_chains=4, tempering=2, use_fused=True,
-                  verbose=False)
+    # use_fused=True is ALLOWED with tempering: the trajectory kernel's
+    # power-posterior program covers the fleet (beta as a traced lane
+    # vector; test_fused_trajectory.py::test_tempered_sampling_*), and
+    # only the per-step potential kernel is suppressed by the driver
     with pytest.raises(ValueError, match=">= 1"):
         net.train(10, 2, lik, n_chains=4, tempering=0, verbose=False)
 
