@@ -162,6 +162,13 @@ class RunResult:
         from tensorbnn_tpu.utils.diagnostics import multichain_ess
         return multichain_ess(self.theta_samples, max_params=max_params)
 
+    def summary(self, max_params: int = 256):
+        """Per-parameter convergence table (mean, sd, pooled cross-chain
+        ESS, split R-hat) over the raw parameter traces — printable
+        (:class:`~tensorbnn_tpu.utils.diagnostics.Summary`)."""
+        from tensorbnn_tpu.utils.diagnostics import summary
+        return summary(self.theta_samples, max_params=max_params)
+
     @property
     def eta_pooled(self) -> np.ndarray:
         s, c, h = self.eta_samples.shape

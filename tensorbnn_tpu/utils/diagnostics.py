@@ -107,3 +107,74 @@ def multichain_ess(samples: np.ndarray,
     per_param = ess_ck.sum(axis=0)                   # pooled over chains
     per_param = np.where(ok.any(axis=0), per_param, np.nan)
     return PooledEss(per_param, idx)
+
+
+class Summary:
+    """Per-parameter convergence table (the ArviZ-style one-call report).
+
+    ``rows`` are (param_index, mean, sd, pooled ESS, split R-hat) over the
+    examined coordinates; ``str()`` renders an aligned table — all rows
+    when small, otherwise the worst-ESS rows (the ones a user must act
+    on). The reference has no convergence reporting at all (its predictor
+    exposes one autocorrelation helper, predictor.py:156-187).
+    """
+
+    def __init__(self, param_index, mean, sd, ess, rhat):
+        self.param_index = np.asarray(param_index)
+        self.mean = np.asarray(mean, np.float64)
+        self.sd = np.asarray(sd, np.float64)
+        self.ess = np.asarray(ess, np.float64)
+        self.rhat = np.asarray(rhat, np.float64)
+
+    @property
+    def min_ess(self) -> float:
+        finite = np.isfinite(self.ess)
+        return float(self.ess[finite].min()) if finite.any() else 0.0
+
+    @property
+    def max_rhat(self) -> float:
+        finite = np.isfinite(self.rhat)
+        return float(self.rhat[finite].max()) if finite.any() else np.nan
+
+    def as_dict(self) -> dict:
+        return {"param": self.param_index, "mean": self.mean,
+                "sd": self.sd, "ess": self.ess, "rhat": self.rhat}
+
+    def __str__(self):
+        k = self.param_index.size
+        order = np.arange(k)
+        note = ""
+        if k > 20:
+            # surface the slowest-mixing coordinates — the actionable ones
+            order = np.argsort(np.where(np.isfinite(self.ess),
+                                        self.ess, np.inf))[:10]
+            note = (f"\n... ({k - order.size} more coordinates; showing "
+                    f"the 10 worst by ESS)")
+        lines = [f"{'param':>8} {'mean':>12} {'sd':>12} "
+                 f"{'ess':>10} {'rhat':>8}"]
+        for i in order:
+            lines.append(
+                f"{int(self.param_index[i]):>8} {self.mean[i]:>12.4g} "
+                f"{self.sd[i]:>12.4g} {self.ess[i]:>10.1f} "
+                f"{self.rhat[i]:>8.3f}")
+        return "\n".join(lines) + note
+
+    __repr__ = __str__
+
+
+def summary(samples: np.ndarray, max_params: int = 256) -> Summary:
+    """One-call per-parameter convergence report over a (draws, chains,
+    ...) stack: posterior mean/sd, pooled cross-chain ESS (batched Sokal
+    taus, :func:`multichain_ess`) and split R-hat per examined coordinate
+    (evenly strided to ``max_params``, matching ``multichain_ess``)."""
+    samples = np.asarray(samples, np.float64)
+    n, c = samples.shape[:2]
+    flat = samples.reshape(n, c, -1)
+    ess = multichain_ess(samples, max_params=max_params)
+    sub = flat[:, :, ess.param_index]                    # (n, c, k)
+    pooled = sub.reshape(n * c, -1)
+    return Summary(ess.param_index,
+                   pooled.mean(axis=0),
+                   pooled.std(axis=0, ddof=1),
+                   ess.per_param,
+                   split_rhat(sub))

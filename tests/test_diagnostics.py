@@ -203,3 +203,57 @@ def test_runresult_diagnostics_methods():
     assert np.all(np.isfinite(rhat) | np.isnan(rhat))
     ess = res.multichain_ess()
     assert ess > 0
+
+
+def test_summary_table_values_and_rendering():
+    from tensorbnn_tpu.utils.diagnostics import summary
+
+    rng = np.random.default_rng(0)
+    n, c, d = 400, 4, 6
+    samples = rng.normal(size=(n, c, d)) * np.arange(1, d + 1) + 10.0
+
+    s = summary(samples)
+    assert s.param_index.shape == (d,)
+    pooled = samples.reshape(n * c, d)
+    np.testing.assert_allclose(s.mean, pooled.mean(axis=0), rtol=1e-12)
+    np.testing.assert_allclose(s.sd, pooled.std(axis=0, ddof=1),
+                               rtol=1e-12)
+    # IID draws: R-hat ~ 1, pooled ESS ~ n*c per coordinate
+    assert np.all(np.abs(s.rhat - 1.0) < 0.02)
+    assert s.min_ess > 0.5 * n * c
+    assert abs(s.max_rhat - 1.0) < 0.02
+    text = str(s)
+    assert "rhat" in text and "ess" in text
+    assert len(text.splitlines()) == d + 1          # header + d rows
+
+    # wide stacks render the worst-ESS subset
+    wide = rng.normal(size=(100, 2, 50))
+    text_w = str(summary(wide))
+    assert "worst by ESS" in text_w
+
+
+def test_runresult_summary_method():
+    import math
+
+    import jax.numpy as jnp
+
+    from tensorbnn_tpu import (FixedGaussianLikelihood, GaussianDenseLayer,
+                               Tanh)
+    from tensorbnn_tpu.network import Network
+
+    x = np.linspace(-1, 1, 9)
+    y = np.sin(x * math.pi)
+    net = Network(jnp.float32, 1, x, y, x, y, seed=3)
+    net.add(GaussianDenseLayer(1, 4)).add(Tanh())
+    net.add(GaussianDenseLayer(4, 1))
+    net.setup_mcmc(step_size_start=5e-3, step_size_min=1e-3,
+                   step_size_max=1e-2, step_size_options=5,
+                   leapfrog_start=6, leapfrog_min=2, leapfrog_max=12,
+                   leapfrog_increment=2, hyper_leapfrog=4, burnin=20,
+                   averaging_steps=5, random_steps=2)
+    res = net.train(120, 2, FixedGaussianLikelihood(sd=0.1),
+                    n_chains=4, chain_jitter=0.05, verbose=False)
+    s = res.summary()
+    assert s.param_index.size == res.theta_samples.shape[-1]
+    assert s.min_ess == float(res.multichain_ess())
+    assert str(s)
