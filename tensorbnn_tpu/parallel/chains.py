@@ -121,14 +121,21 @@ def make_multichain_chunk_runner(model: Sequential, likelihood: Likelihood,
     wave front per epoch; lengths stay traced, so drawing fresh ones
     every chunk never recompiles).
     """
-    if tempering_beta is not None and (mesh is not None
-                                       or state_layout == "tree"):
-        # v1 scope: replica swaps pair rung blocks across the chain axis;
-        # under a chain-sharded mesh those pairs straddle shard boundaries
-        # (a ppermute extension), and the tree layout's big-data runs are
-        # out of tempering's small-multimodal-model scope
-        raise ValueError("tempering requires mesh=None and the flat "
-                         "state layout")
+    if tempering_beta is not None and (
+            (mesh is not None and mesh.shape[CHAIN_AXIS] > 1)
+            or state_layout == "tree"):
+        # replica swaps pair rung blocks across the chain axis; under a
+        # chain-SHARDED mesh those pairs straddle shard boundaries (a
+        # ppermute extension), and the tree layout's big-data runs are
+        # out of tempering's small-multimodal-model scope. A pure
+        # data-parallel mesh (chains axis 1) IS supported: every data
+        # shard holds the whole replica fleet, the psum'd
+        # log-likelihood and replicated per-chain keys make the swap
+        # decisions identical on every shard, and the likelihood
+        # value+grad rides the data-axis collective like any other run
+        raise ValueError("tempering requires the mesh chains axis to be "
+                         "1 (data-parallel only) and the flat state "
+                         "layout")
     mu = math.log(100.0 * hyper_step_size_init)
 
     from jax.flatten_util import ravel_pytree
@@ -227,7 +234,11 @@ def make_multichain_chunk_runner(model: Sequential, likelihood: Likelihood,
     epoch_trace_spec = EpochTrace(
         theta=P(None, CHAIN_AXIS), eta=P(None, CHAIN_AXIS),
         sjd=P(None, CHAIN_AXIS), main_accept=P(None, CHAIN_AXIS),
-        hyper_accept=P(None, CHAIN_AXIS), uturn=P(None, CHAIN_AXIS))
+        hyper_accept=P(None, CHAIN_AXIS), uturn=P(None, CHAIN_AXIS),
+        # tempered runs emit the per-chain swap indicator; None (an
+        # empty subtree) otherwise, matching the body's output pytree
+        swap_accept=(P(None, CHAIN_AXIS) if tempering_beta is not None
+                     else None))
 
     adapt_spec = P(CHAIN_AXIS) if per_chain_adapt else P()
     # per-epoch leapfrog vectors are (n_epochs,), shared by every chain

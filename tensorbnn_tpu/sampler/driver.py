@@ -308,9 +308,13 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
     rungs learn the long steps their flat targets allow. This is the
     multimodal-mixing lever — BNN posteriors carry sign-flip/permutation
     mode copies a single-temperature chain cannot tunnel between (the
-    reference runs exactly one chain at one temperature). Requires
-    ``mesh=None`` (swaps would straddle chain shards; ppermute extension
-    path documented in parallel/chains.py) and the flat state layout,
+    reference runs exactly one chain at one temperature). Composes with
+    data parallelism — a mesh whose chains axis is 1 holds the whole
+    replica fleet on every data shard, the psum'd log-likelihood keeps
+    swap decisions shard-consistent, and the big-data likelihood rides
+    the data-axis collective (chain-SHARDED meshes would straddle swap
+    pairs; ppermute extension path documented in parallel/chains.py).
+    Requires the flat state layout,
     and is incompatible with ``trajectory='uturn'``, ``precondition``,
     and ``n_adapters > 1`` (rungs own the groups). The whole replica
     fleet rides the fused trajectory kernel's power-posterior program
@@ -358,11 +362,17 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
     fleet_chains = n_chains
     if tempering > 1:
         if mesh is not None:
-            raise ValueError(
-                "tempering requires mesh=None: replica swaps pair rung "
-                "blocks across the chain axis and would straddle chain "
-                "shards (ppermute extension path documented in "
-                "parallel/chains.py)")
+            from tensorbnn_tpu.parallel.mesh import CHAIN_AXIS as _CA
+            if mesh.shape[_CA] > 1:
+                raise ValueError(
+                    "tempering requires the mesh chains axis to be 1: "
+                    "replica swaps pair rung blocks across the chain "
+                    "axis and would straddle chain shards (ppermute "
+                    "extension path documented in parallel/chains.py). "
+                    "Data-parallel tempering (chains axis 1, data axis "
+                    "> 1) is supported — replicas are whole on every "
+                    "data shard and the psum'd log-likelihood makes "
+                    "swap decisions shard-consistent")
         if traj_uturn:
             raise ValueError(
                 "tempering is incompatible with trajectory='uturn' (the "
@@ -475,7 +485,10 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
             axis_name = None
         else:
             from tensorbnn_tpu.parallel.mesh import CHAIN_AXIS
-            local_chains = n_chains // mesh.shape[CHAIN_AXIS]
+            # fleet_chains == n_chains except under tempering, where the
+            # rung-major replica fleet (chains axis pinned to 1) widens
+            # the per-device chain block
+            local_chains = fleet_chains // mesh.shape[CHAIN_AXIS]
             local_rows = int(x_train.shape[0]) // mesh.shape[DATA_AXIS]
             axis_name = DATA_AXIS
         block_c = local_chains if (local_chains <= 512
@@ -543,7 +556,7 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
             block_ch = fleet_chains
         else:
             from tensorbnn_tpu.parallel.mesh import CHAIN_AXIS
-            block_ch = n_chains // mesh.shape[CHAIN_AXIS]
+            block_ch = fleet_chains // mesh.shape[CHAIN_AXIS]
         block_ch = block_ch if (block_ch <= 512 or block_ch % 512) else 512
         batched_hyper_traj = try_build_fused_hyper_trajectory(
             model, likelihood, flat.unravel_eta, flat.eta.size,

@@ -295,3 +295,33 @@ def test_tempering_fingerprint_mismatch_raises(tmp_path):
         _trig_net(seed=9).train(40, 2, lik, n_chains=4, tempering=4,
                                 chain_jitter=0.1, checkpoint_dir=ckpt,
                                 checkpoint_every=1, verbose=False)
+
+
+def test_tempering_data_parallel_mesh_matches_single_device():
+    """A tempered run over a pure data-parallel mesh (chains axis 1, data
+    axis 8) reproduces the single-device run: every data shard holds the
+    whole replica fleet, the psum'd log-likelihood makes the swap
+    decisions shard-consistent, and only reduction-order roundoff
+    differs. Chain-sharded meshes are rejected (swap pairs would
+    straddle shards)."""
+    from tensorbnn_tpu.parallel import mesh as mesh_lib
+
+    lik = FixedGaussianLikelihood(sd=0.1)
+
+    def run(dev_mesh):
+        net = _trig_net(seed=7)
+        return net.train(60, 2, lik, n_chains=4, tempering=3,
+                         chain_jitter=0.1, mesh=dev_mesh, verbose=False)
+
+    res_one = run(None)
+    res_dp = run(mesh_lib.make_mesh(n_chain_devices=1, n_data_devices=8))
+
+    np.testing.assert_allclose(res_dp.theta_samples, res_one.theta_samples,
+                               rtol=5e-2, atol=5e-4)
+    # swap decisions are discrete: roundoff-insensitive here, and they
+    # must agree exactly for the trajectories above to match at all
+    np.testing.assert_array_equal(res_dp.swap_accept, res_one.swap_accept)
+    assert np.isfinite(res_dp.swap_accept).all()
+
+    with pytest.raises(ValueError, match="chains axis"):
+        run(mesh_lib.make_mesh(n_chain_devices=2, n_data_devices=4))
