@@ -126,3 +126,36 @@ def test_combo_fused_matches_xla(case):
     b = run(False)
     np.testing.assert_allclose(a.theta_samples, b.theta_samples,
                                rtol=5e-3, atol=5e-3)
+
+
+@pytest.mark.parametrize("case", CASES, ids=[c[0] for c in CASES])
+@pytest.mark.parametrize("use_fused", [False, True],
+                         ids=["xla", "fused"])
+def test_combo_tempered_samples_finite(case, use_fused):
+    """Every stack x likelihood cell again under a 3-rung tempered fleet
+    (rungs own the adapter groups), on both compute paths — the fused
+    cells run the trajectory kernel's power-posterior program across
+    every prior kind and likelihood tail it supports."""
+    _, layers, lik, ykind = case
+    x, y = _data(ykind)
+
+    net = Network(jnp.float32, 2, x, y, x, y, seed=7)
+    for layer in layers():
+        net.add(layer)
+    net.setup_mcmc(step_size_start=3e-3, step_size_min=1e-3,
+                   step_size_max=1e-2, step_size_options=5,
+                   leapfrog_start=6, leapfrog_min=2, leapfrog_max=12,
+                   leapfrog_increment=2, hyper_step_size=1e-3,
+                   hyper_leapfrog=4, burnin=16, averaging_steps=4,
+                   random_steps=2)
+    res = net.train(48, 4, lik, n_chains=2, tempering=3,
+                    tempering_beta_min=0.1, chain_jitter=0.02,
+                    use_fused=use_fused, verbose=False)
+
+    assert res.theta_samples.shape[1] == 2      # cold chains only
+    assert np.all(np.isfinite(res.theta_samples))
+    assert np.all(np.isfinite(res.eta_samples))
+    acc = res.main_accept.mean()
+    assert 0 < acc <= 1.0, acc
+    assert res.swap_accept is not None
+    assert np.all((res.swap_accept >= 0) & (res.swap_accept <= 1))
