@@ -212,16 +212,18 @@ def make_epoch_fn(model: Sequential, likelihood: Likelihood, x, y,
 
         if adjust_hypers:
             # -- hyper block: HMC over hypers given new params ---------------
-            # (tempered + likelihood-coupled hypers: the stats potential
-            # bakes the untempered likelihood term, so the generic
-            # tempered value-and-grad runs instead; uncoupled hyper
-            # potentials have no likelihood term and keep the stats path)
+            # (tempered + likelihood-coupled hypers run the stats
+            # potential's TEMPERED variant — beta scales only the
+            # coupled likelihood term, so hyper leapfrog stays data-free
+            # per step; the fused hyper kernel bakes beta=1 and is
+            # bypassed for that combination only)
+            tempered_coupled = tempered and likelihood.main_probs_in_hypers
             stats = None
-            if stats_pair is not None and not (
-                    tempered and likelihood.main_probs_in_hypers):
-                stats_f, hyper_vg_stats = stats_pair
+            if stats_pair is not None:
+                stats_f, hyper_vg_stats, hyper_vg_stats_t = stats_pair
                 stats = stats_f(unravel_theta_b(theta))
-            if batched_hyper_traj is not None and stats is not None:
+            if (batched_hyper_traj is not None and stats is not None
+                    and not tempered_coupled):
                 # fused hyper-trajectory kernel; identical PRNG
                 # substreams and MH as hmc_step_batched
                 kh2 = jax.vmap(lambda k: jax.random.split(k))(k_hyper)
@@ -241,7 +243,9 @@ def make_epoch_fn(model: Sequential, likelihood: Likelihood, x, y,
                     kh_mh))
                 eta = jnp.where((h_log_u < hlar)[:, None], hq, eta)
             else:
-                if stats is not None:
+                if stats is not None and tempered_coupled:
+                    hyper_vg_fn = lambda es: hyper_vg_stats_t(es, stats, beta_c)  # noqa: E731
+                elif stats is not None:
                     hyper_vg_fn = lambda es: hyper_vg_stats(es, stats)  # noqa: E731
                 elif tempered:
                     hyper_vg_fn = lambda es: hyper_vg_bt(es, theta, beta_c)  # noqa: E731
@@ -416,7 +420,9 @@ def make_tree_epoch_fn(model: Sequential, likelihood: Likelihood, x, y,
         if adjust_hypers:
             from tensorbnn_tpu.sampler.hmc import hmc_step_batched
             if stats_pair is not None:
-                stats_f, hyper_vg_stats = stats_pair
+                # tree layout never tempers (driver-rejected), so the
+                # untempered stats variant is the only one used here
+                stats_f, hyper_vg_stats, _ = stats_pair
                 stats = stats_f(theta)
                 hyper_vg_fn = lambda es: hyper_vg_stats(es, stats)  # noqa: E731
             else:

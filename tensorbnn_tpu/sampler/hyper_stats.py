@@ -109,13 +109,18 @@ def make_stats_hyper(model, likelihood, x, y, unravel_eta,
                      axis_name: Optional[str] = None,
                      data_chunk: Optional[int] = None
                      ) -> Optional[Tuple[Callable, Callable]]:
-    """Builds ``(stats_fn, hyper_vg)`` or returns None when out of scope.
+    """Builds ``(stats_fn, hyper_vg, hyper_vg_t)`` or None when out of
+    scope.
 
     * ``stats_fn(params_tree_batched) -> stats (C, S)`` — per-chain
       sufficient statistics (call once per epoch, after the main block).
     * ``hyper_vg(etas (C, H), stats) -> ((C,), (C, H))`` — value and grad
       of the hyper potential, exactly matching
       ``sampler.potential.Potentials.hyper_vg``.
+    * ``hyper_vg_t(etas, stats, betas (C,))`` — the tempered variant
+      (power posterior: only the coupled likelihood term scales by beta;
+      priors and hyperpriors stay untempered), matching ``hyper_vg_t``.
+      For uncoupled likelihoods it equals ``hyper_vg`` for any beta.
 
     Scope: see :func:`probe_stats_layout`.
     """
@@ -185,7 +190,7 @@ def make_stats_hyper(model, likelihood, x, y, unravel_eta,
             stats = jnp.concatenate([stats, k], axis=1)
         return stats
 
-    def hyper_logp(eta, stats):
+    def hyper_logp(eta, stats, beta):
         lp = jnp.asarray(0.0, eta.dtype)
         for j, (i, idx, k_w, k_b) in enumerate(dense_layers):
             w_loc = eta[idx["w_loc"]]
@@ -211,9 +216,13 @@ def make_stats_hyper(model, likelihood, x, y, unravel_eta,
         if coupled:
             sd = _clip_sd(eta[sd_idx] ** 2)
             r, k = stats[-2], stats[-1]
-            lp += -0.5 * (2.0 * k * jnp.log(sd) + r / (sd * sd)
-                          + k * LOG_2PI)
+            lp += beta * (-0.5 * (2.0 * k * jnp.log(sd) + r / (sd * sd)
+                                  + k * LOG_2PI))
         return lp
 
-    hyper_vg = jax.vmap(jax.value_and_grad(hyper_logp), in_axes=(0, 0))
-    return stats_fn, hyper_vg
+    hyper_vg = jax.vmap(
+        jax.value_and_grad(lambda e, s: hyper_logp(e, s, 1.0)),
+        in_axes=(0, 0))
+    hyper_vg_t = jax.vmap(jax.value_and_grad(hyper_logp),
+                          in_axes=(0, 0, 0))
+    return stats_fn, hyper_vg, hyper_vg_t

@@ -34,7 +34,7 @@ def _setup(lik, n=9, width=5, c=4, seed=0):
     params, hypers = model.init(jax.random.key(seed))
     flat = flatten_state(params, hypers, lik.init_hypers())
 
-    stats_f, hyper_vg = make_stats_hyper(
+    stats_f, hyper_vg, _ = make_stats_hyper(
         model, lik, jnp.asarray(x), jnp.asarray(y), flat.unravel_eta,
         flat.eta.size)
     thetas = jnp.asarray(

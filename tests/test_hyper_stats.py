@@ -55,7 +55,7 @@ def test_stats_hyper_matches_generic(lik):
     built = make_stats_hyper(model, lik, x, y, flat.unravel_eta,
                              flat.eta.size)
     assert built is not None
-    stats_fn, hyper_vg_stats = built
+    stats_fn, hyper_vg_stats, hyper_vg_stats_t = built
     params_b = jax.vmap(flat.unravel_theta)(thetas)
     stats = stats_fn(params_b)
 
@@ -110,7 +110,7 @@ def test_stats_hyper_under_mesh_matches_single_device():
         built = make_stats_hyper(model, lik, x_in, y_in,
                                  flat.unravel_eta, flat.eta.size,
                                  axis_name=DATA_AXIS)
-        stats_fn, hyper_vg_stats = built
+        stats_fn, hyper_vg_stats, hyper_vg_stats_t = built
         params_b = jax.vmap(flat.unravel_theta)(thetas_in)
         return hyper_vg_stats(etas_in, stats_fn(params_b))
 
@@ -163,3 +163,39 @@ def test_sampling_with_stats_hyper_matches_generic_path():
                                rtol=2e-3, atol=2e-4)
     np.testing.assert_allclose(a.eta_samples, b.eta_samples,
                                rtol=2e-3, atol=2e-4)
+
+
+@pytest.mark.parametrize("lik", [
+    GaussianLikelihood(sd=0.15),       # coupled: beta scales the R term
+    FixedGaussianLikelihood(sd=0.1),   # uncoupled: beta is a no-op
+])
+def test_stats_hyper_tempered_matches_generic(lik):
+    """The tempered stats variant == Potentials.hyper_vg_t: only the
+    coupled likelihood term scales by beta (power posterior), priors and
+    hyperpriors untempered."""
+    model = Sequential([GaussianDenseLayer(2, 7), Tanh(),
+                        GaussianDenseLayer(7, 1)])
+    x, y, flat, thetas, etas = _setup(model, lik)
+
+    built = make_stats_hyper(model, lik, x, y, flat.unravel_eta,
+                             flat.eta.size)
+    stats_fn, hyper_vg_stats, hyper_vg_stats_t = built
+    params_b = jax.vmap(flat.unravel_theta)(thetas)
+    stats = stats_fn(params_b)
+    betas = jnp.asarray([1.0, 0.4, 0.1, 0.02], jnp.float32)
+
+    pots = make_potentials(model, lik, x, y, flat.unravel_theta,
+                           flat.unravel_eta)
+    v_g, g_g = jax.vmap(pots.hyper_vg_t, in_axes=(0, 0, 0))(
+        etas, thetas, betas)
+    v_s, g_s = hyper_vg_stats_t(etas, stats, betas)
+
+    np.testing.assert_allclose(np.asarray(v_s), np.asarray(v_g),
+                               rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(g_s), np.asarray(g_g),
+                               rtol=1e-4, atol=1e-4)
+    if isinstance(lik, FixedGaussianLikelihood):
+        # uncoupled: the tempered variant must equal the plain one
+        v_p, g_p = hyper_vg_stats(etas, stats)
+        np.testing.assert_array_equal(np.asarray(v_s), np.asarray(v_p))
+        np.testing.assert_array_equal(np.asarray(g_s), np.asarray(g_p))

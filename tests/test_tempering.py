@@ -325,3 +325,40 @@ def test_tempering_data_parallel_mesh_matches_single_device():
 
     with pytest.raises(ValueError, match="chains axis"):
         run(mesh_lib.make_mesh(n_chain_devices=2, n_data_devices=4))
+
+
+def test_tempered_coupled_stats_hyper_matches_generic_path():
+    """Tempered + learned-sd (coupled) hypers run the stats potential's
+    tempered variant (hyper leapfrog data-free per step); disabling the
+    stats path must not change the sampled chains beyond float drift."""
+    from tensorbnn_tpu import GaussianLikelihood
+    from tensorbnn_tpu.sampler import hyper_stats
+
+    x = np.linspace(-1, 1, 9)
+    y = np.sin(x * np.pi)
+
+    def run(enabled):
+        orig = hyper_stats.make_stats_hyper
+        if not enabled:
+            hyper_stats.make_stats_hyper = lambda *a, **k: None
+        try:
+            net = Network(jnp.float32, 1, x, y, x, y, seed=21)
+            net.add(GaussianDenseLayer(1, 6)).add(Tanh())
+            net.add(GaussianDenseLayer(6, 1))
+            net.setup_mcmc(step_size_start=1e-3, leapfrog_start=8,
+                           leapfrog_min=4, leapfrog_max=16, burnin=10,
+                           averaging_steps=5, hyper_leapfrog=6,
+                           random_steps=1)
+            return net.train(30, 4, GaussianLikelihood(sd=0.1),
+                             n_chains=2, tempering=3,
+                             tempering_beta_min=0.05, verbose=False)
+        finally:
+            hyper_stats.make_stats_hyper = orig
+
+    a = run(True)
+    b = run(False)
+    np.testing.assert_allclose(a.theta_samples, b.theta_samples,
+                               rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(a.eta_samples, b.eta_samples,
+                               rtol=2e-3, atol=2e-4)
+    np.testing.assert_array_equal(a.swap_accept, b.swap_accept)
