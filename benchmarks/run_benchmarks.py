@@ -508,7 +508,8 @@ def bench_surrogate_quality(n_chains: int = 32, precondition: bool = False,
 
 
 def ess_run(n_chains: int = 64, n_adapters: int = 1,
-            epochs: int = 1300, trajectory: str = "adapter") -> dict:
+            epochs: int = 1300, trajectory: str = "adapter",
+            tempering: int = 1) -> dict:
     """The flagship config through the full adaptive driver, measured as
     quality-adjusted throughput. Returns a result dict (shared with the
     repo-root ``bench.py``, which embeds it in the driver-captured
@@ -545,7 +546,8 @@ def ess_run(n_chains: int = 64, n_adapters: int = 1,
     res = net.train(epochs, 2, FixedGaussianLikelihood(sd=0.1),
                     n_chains=n_chains, n_adapters=n_adapters,
                     chain_jitter=0.05, tracer=tracer,
-                    trajectory=trajectory, verbose=False)
+                    trajectory=trajectory, tempering=tempering,
+                    verbose=False)
     dt = time.perf_counter() - t0
 
     # ESS of a predictive summary (mean prediction at x=0.5) per chain
@@ -567,6 +569,7 @@ def ess_run(n_chains: int = 64, n_adapters: int = 1,
         "n_chains": n_chains,
         "n_adapters": n_adapters,
         "trajectory": trajectory,
+        "tempering": tempering,
         "epochs": epochs,
         "ess_per_sec": round(total_ess / dt, 2),
         # compile-adjusted companion: axon cannot cache compiles across
@@ -884,6 +887,34 @@ def main():
         bench_ess(1024, n_adapters=8)
     if which == "ess_group_sweep":
         bench_ess_group_sweep()
+    if which == "ess_tempered":
+        # the temperature axis as lane-level parallelism: at 64 chains the
+        # flagship fills half of the 128-lane block, so a K=2 geometric
+        # ladder (128 replicas) rides lanes that would otherwise idle —
+        # swap-boosted mixing for near-zero marginal wall. Run the plain
+        # 64-chain config and the K=2 ladder back to back for the
+        # same-session comparison (cold compiles hit both equally).
+        n = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+        k = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+        rows = []
+        for temper in (1, k):
+            r = ess_run(n, 1, tempering=temper)
+            log(f"tempering={temper}: {r['total_ess']} ESS in "
+                f"{r['wall_seconds']}s -> {r['ess_per_sec']}/s "
+                f"(warm est {r['ess_per_sec_warm_est']}/s), "
+                f"accept {r['accept_post_burnin']}, "
+                f"min-param ESS {r['min_param_ess']}")
+            rows.append({k2: r[k2] for k2 in (
+                "tempering", "ess_per_sec", "ess_per_sec_warm_est",
+                "total_ess", "min_param_ess", "accept_post_burnin",
+                "wall_seconds", "compile_wall_seconds")})
+        print(json.dumps({
+            "metric": f"tempered-lane ESS/sec ({n} chains, K=1 vs K={k} "
+                      f"rung ladder, flagship MLP)",
+            "value": rows[-1]["ess_per_sec"],
+            "unit": "effective samples/sec",
+            "sweep": rows,
+        }))
     if which == "ess_uturn":
         # flagship fleet under NUTS-style dynamic lengths; runs through
         # the fused trajectory kernel's record_uturn variant (the kernel
