@@ -359,7 +359,8 @@ def bench_surrogate():
 
 def bench_surrogate_quality(n_chains: int = 32, precondition: bool = False,
                             windows: int = 1, clip=(1e-2, 1e2),
-                            uturn: bool = False):
+                            uturn: bool = False,
+                            uturn_probe: str = "always"):
     """The surrogate config as a *posterior*, not just a throughput number
     (round-1 PERF_NOTES gap 4): run the full adaptive driver with a step
     grid at the ~1e-7 scale this 1M-point target needs, assert acceptance
@@ -458,6 +459,7 @@ def bench_surrogate_quality(n_chains: int = 32, precondition: bool = False,
                     precondition_windows=windows,
                     precondition_clip=clip,
                     trajectory="uturn" if uturn else "adapter",
+                    uturn_probe=uturn_probe,
                     # axon kills the worker when one XLA execution runs
                     # ~60-90s+; uturn's ratcheting lengths over the 1M-point
                     # chunked likelihood cross that without the governor
@@ -503,13 +505,18 @@ def bench_surrogate_quality(n_chains: int = 32, precondition: bool = False,
         "precond_windows": windows if precondition else 0,
         "precond_clip": list(clip) if precondition else None,
         "trajectory": "uturn" if uturn else "adapter",
+        "uturn_probe": uturn_probe if uturn else None,
+        "dispatch_first_walls": [[round(k, 1), round(w, 3)]
+                                 for k, w in res.dispatch_first_walls],
+        "dispatch_warm_walls": [[round(k, 1), round(w, 3)]
+                                for k, w in res.dispatch_warm_walls],
         "potential": "xla-tree",
     }))
 
 
 def ess_run(n_chains: int = 64, n_adapters: int = 1,
             epochs: int = 1300, trajectory: str = "adapter",
-            tempering: int = 1) -> dict:
+            tempering: int = 1, uturn_probe: str = "always") -> dict:
     """The flagship config through the full adaptive driver, measured as
     quality-adjusted throughput. Returns a result dict (shared with the
     repo-root ``bench.py``, which embeds it in the driver-captured
@@ -546,7 +553,8 @@ def ess_run(n_chains: int = 64, n_adapters: int = 1,
     res = net.train(epochs, 2, FixedGaussianLikelihood(sd=0.1),
                     n_chains=n_chains, n_adapters=n_adapters,
                     chain_jitter=0.05, tracer=tracer,
-                    trajectory=trajectory, tempering=tempering,
+                    trajectory=trajectory, uturn_probe=uturn_probe,
+                    tempering=tempering,
                     verbose=False)
     dt = time.perf_counter() - t0
 
@@ -582,6 +590,16 @@ def ess_run(n_chains: int = 64, n_adapters: int = 1,
             total_ess / max(dt - res.compile_wall_estimate, 1e-9), 2),
         "compile_wall_seconds": round(res.compile_wall_estimate, 1),
         "n_dispatch_compiles": res.n_dispatch_compiles,
+        # raw (work, wall) pairs behind the compile-wall attribution —
+        # auditable from the artifact (round-3 VERDICT weak #7)
+        "dispatch_first_walls": [[round(k, 1), round(w, 3)]
+                                 for k, w in res.dispatch_first_walls],
+        "dispatch_warm_walls": [[round(k, 1), round(w, 3)]
+                                for k, w in res.dispatch_warm_walls],
+        # replica-swap acceptance (None unless tempering > 1): attributes
+        # a tempered win/loss to swaps firing vs. a mistuned ladder
+        "swap_accept_mean": (round(float(np.mean(res.swap_accept)), 4)
+                             if res.swap_accept is not None else None),
         "total_ess": round(total_ess, 1),
         "min_param_ess": round(float(param_ess), 1),
         "median_param_ess": round(param_ess.median, 1),
@@ -867,8 +885,9 @@ def main():
     if which == "surrogate_quality_uturn":
         precond = len(sys.argv) > 2 and sys.argv[2] == "precond"
         windows = int(sys.argv[3]) if len(sys.argv) > 3 else 1
+        probe = sys.argv[4] if len(sys.argv) > 4 else "always"
         bench_surrogate_quality(precondition=precond, uturn=True,
-                                windows=windows)
+                                windows=windows, uturn_probe=probe)
     if which in ("classification", "all"):
         bench_classification()
     if which in ("multiclass", "all"):
@@ -896,6 +915,9 @@ def main():
         # same-session comparison (cold compiles hit both equally).
         n = int(sys.argv[2]) if len(sys.argv) > 2 else 64
         k = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+        if k < 2:
+            sys.exit("usage: ess_tempered [n_chains] [k_rungs>=2] — "
+                     "k=1 would compare the untempered config to itself")
         rows = []
         for temper in (1, k):
             r = ess_run(n, 1, tempering=temper)
@@ -903,10 +925,12 @@ def main():
                 f"{r['wall_seconds']}s -> {r['ess_per_sec']}/s "
                 f"(warm est {r['ess_per_sec_warm_est']}/s), "
                 f"accept {r['accept_post_burnin']}, "
+                f"swap accept {r['swap_accept_mean']}, "
                 f"min-param ESS {r['min_param_ess']}")
             rows.append({k2: r[k2] for k2 in (
                 "tempering", "ess_per_sec", "ess_per_sec_warm_est",
                 "total_ess", "min_param_ess", "accept_post_burnin",
+                "swap_accept_mean",
                 "wall_seconds", "compile_wall_seconds")})
         print(json.dumps({
             "metric": f"tempered-lane ESS/sec ({n} chains, K=1 vs K={k} "
@@ -918,20 +942,52 @@ def main():
     if which == "ess_uturn":
         # flagship fleet under NUTS-style dynamic lengths; runs through
         # the fused trajectory kernel's record_uturn variant (the kernel
-        # records each chain's first U-turn step in-program)
+        # records each chain's first U-turn step in-program). Optional
+        # argv[3]: burn-in probe schedule ("always"|"alternate").
         n = int(sys.argv[2]) if len(sys.argv) > 2 else 512
-        r = ess_run(n, 1, trajectory="uturn")
-        log(f"ess_uturn: {r['total_ess']} ESS in {r['wall_seconds']}s "
+        probe = sys.argv[3] if len(sys.argv) > 3 else "always"
+        r = ess_run(n, 1, trajectory="uturn", uturn_probe=probe)
+        log(f"ess_uturn[{probe}]: {r['total_ess']} ESS in "
+            f"{r['wall_seconds']}s "
             f"-> {r['ess_per_sec']}/s, accept {r['accept_post_burnin']}, "
             f"final L {r['final_leapfrog']}")
         print(json.dumps({
             "metric": f"ESS/sec (predictive summary, {n} chains, "
-                      f"uturn dynamic trajectories, flagship MLP)",
+                      f"uturn dynamic trajectories, probe={probe}, "
+                      f"flagship MLP)",
             "value": r["ess_per_sec"],
             "unit": "effective samples/sec",
+            "uturn_probe": probe,
             **{k: r[k] for k in ("total_ess", "min_param_ess",
                                  "accept_post_burnin", "wall_seconds",
+                                 "ess_per_sec_warm_est",
+                                 "compile_wall_seconds",
                                  "final_leapfrog", "final_step_size")},
+        }))
+    if which == "ess_uturn_probe":
+        # the uturn probe-tax measurement (round-3 VERDICT weak #6):
+        # probe=always (every burn-in chunk at ceil(l_hat*1.5)) vs
+        # probe=alternate (interleaved exploit chunks at l_hat),
+        # back-to-back in one session so compiles hit both equally
+        n = int(sys.argv[2]) if len(sys.argv) > 2 else 512
+        rows = []
+        for probe in ("always", "alternate"):
+            r = ess_run(n, 1, trajectory="uturn", uturn_probe=probe)
+            log(f"probe={probe}: {r['total_ess']} ESS in "
+                f"{r['wall_seconds']}s -> {r['ess_per_sec']}/s "
+                f"(warm est {r['ess_per_sec_warm_est']}/s), "
+                f"accept {r['accept_post_burnin']}, "
+                f"final L {r['final_leapfrog']}")
+            rows.append({"uturn_probe": probe, **{k2: r[k2] for k2 in (
+                "ess_per_sec", "ess_per_sec_warm_est", "total_ess",
+                "min_param_ess", "accept_post_burnin", "wall_seconds",
+                "compile_wall_seconds", "final_leapfrog")}})
+        print(json.dumps({
+            "metric": f"uturn probe-tax sweep ({n} chains, "
+                      f"probe always vs alternate, flagship MLP)",
+            "value": rows[-1]["ess_per_sec"],
+            "unit": "effective samples/sec",
+            "sweep": rows,
         }))
     if which == "tempering":
         # optional args: rungs, chains

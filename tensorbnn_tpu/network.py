@@ -152,6 +152,7 @@ class Network:
               precondition_clip=(1e-2, 1e2),
               precondition_windows: int = 1,
               trajectory: str = "adapter",
+              uturn_probe: str = "always",
               tempering: int = 1,
               tempering_beta_min: float = 0.1,
               checkpoint_dir=None,
@@ -195,6 +196,7 @@ class Network:
             precondition_clip=precondition_clip,
             precondition_windows=precondition_windows,
             trajectory=trajectory,
+            uturn_probe=uturn_probe,
             tempering=tempering,
             tempering_beta_min=tempering_beta_min,
             checkpoint_dir=checkpoint_dir,

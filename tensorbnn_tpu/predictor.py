@@ -304,33 +304,68 @@ class Predictor:
 
     # -- diagnostics ---------------------------------------------------------------
 
+    def _chain_blocks(self):
+        """Contiguous ``(start, stop)`` slices of the chain-major sample
+        axis, one per chain, or ``None`` when the store has no multichain
+        structure (single chain, or a native npz store)."""
+        if self.chain_index is None:
+            return None
+        idx = np.asarray(self.chain_index)
+        if idx.size == 0 or len(np.unique(idx)) <= 1:
+            return None
+        change = np.nonzero(np.diff(idx))[0] + 1
+        starts = np.concatenate([[0], change])
+        stops = np.concatenate([change, [idx.size]])
+        return list(zip(starts.tolist(), stops.tolist()))
+
     def autocorrelation(self, input_data, n_max: int) -> np.ndarray:
         """Mean normalized autocorrelation function of the predictions,
         averaged over test points with finite integrated time (reference
-        predictor.py:275-292). One batched FFT over all test points."""
+        predictor.py:275-292). One batched FFT over all test points.
+
+        For multichain stores the ACF is computed per chain and averaged:
+        the chain-major concatenated series is not a single Markov chain
+        (each chain is demeaned separately, and no lag product crosses a
+        chain boundary). Single-chain stores match the reference exactly.
+        """
         preds = self.predict(input_data, n=1)
         output = np.squeeze(np.asarray(preds)).T  # (points, S)
         output = np.atleast_2d(output)
 
-        taus = autocorr.integrated_time_batch(output)
-        ok = ~np.isnan(taus)
-        if not np.any(ok):
-            return np.atleast_1d(np.zeros(output.shape[1]))[:n_max]
-        val_func = np.mean(
-            [autocorr.autocorr_function_1d(s) for s in output[ok]], axis=0)
-        val_func = np.atleast_1d(val_func)
+        blocks = self._chain_blocks() or [(0, output.shape[1])]
+        acfs = []
+        for a, b in blocks:
+            seg = output[:, a:b]
+            taus = autocorr.integrated_time_batch(seg)
+            ok = ~np.isnan(taus)
+            if np.any(ok):
+                acfs.append(np.mean(
+                    [autocorr.autocorr_function_1d(s) for s in seg[ok]],
+                    axis=0))
+        if not acfs:
+            return np.zeros(min(n_max, output.shape[1]))
+        min_len = min(len(a) for a in acfs)
+        val_func = np.atleast_1d(np.mean([a[:min_len] for a in acfs], axis=0))
         if n_max < len(val_func):
             val_func = val_func[:n_max]
         return val_func
 
     def autocorrelation_length(self, input_data, n_max: int) -> float:
         """Mean integrated autocorrelation time over test points (reference
-        predictor.py:294-312). One batched FFT over all test points."""
+        predictor.py:294-312). One batched FFT over all test points.
+
+        For multichain stores, taus are estimated per chain and averaged
+        over (point, chain) pairs — a tau over the chain-major pooled
+        series would treat between-chain mean differences as
+        autocorrelation and inflate the estimate.
+        """
         preds = self.predict(input_data, n=1)
         output = np.squeeze(np.asarray(preds)).T
         output = np.atleast_2d(output)
 
-        taus = autocorr.integrated_time_batch(output)
+        blocks = self._chain_blocks() or [(0, output.shape[1])]
+        taus = np.concatenate([
+            autocorr.integrated_time_batch(output[:, a:b]) for a, b in blocks])
         ok = ~np.isnan(taus)
         val = float(taus[ok].mean()) if np.any(ok) else 0.0
         if val > n_max:

@@ -139,6 +139,12 @@ class RunResult:
     compile_wall_estimate: float = 0.0
     #: number of first-of-shape (compiling) dispatches observed
     n_dispatch_compiles: int = 0
+    #: raw ``(work_units, wall_seconds)`` pairs behind
+    #: ``compile_wall_estimate`` — every first-of-shape dispatch and every
+    #: warm dispatch, in execution order — so the attribution is auditable
+    #: from the artifact rather than taken on faith
+    dispatch_first_walls: tuple = ()
+    dispatch_warm_walls: tuple = ()
 
     @property
     def theta_pooled(self) -> np.ndarray:
@@ -231,6 +237,7 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
                      precondition_clip=(1e-2, 1e2),
                      precondition_windows: int = 1,
                      trajectory: str = "adapter",
+                     uturn_probe: str = "always",
                      tempering: int = 1,
                      tempering_beta_min: float = 0.1,
                      donate: bool = False,
@@ -296,6 +303,15 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
     stay traced, so the dynamics never recompile. Beyond the reference;
     requires ``n_adapters == 1``; runs through the fused trajectory
     kernel's U-turn-recording program variant when the kernel engages.
+
+    ``uturn_probe``: burn-in probing schedule for ``trajectory="uturn"``.
+    ``"always"`` (default) executes ``ceil(l_hat * GROW)`` every burn-in
+    chunk so every trajectory's U-turn is observed rather than censored —
+    at ~``GROW - 1`` (50%) extra gradient work through burn-in.
+    ``"alternate"`` interleaves probe chunks with exploit chunks run at
+    ``l_hat`` (~25% tax); only probe chunks feed the length reservoir, so
+    exploit-chunk censoring never biases the distribution down
+    (sampler/uturn.py).
 
     ``tempering``: number of parallel-tempering rungs (1 = off). With
     ``K > 1`` the fleet widens rung-major to ``K * n_chains`` replicas
@@ -622,7 +638,8 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
             leapfrog_start=config.leapfrog_start,
             leapfrog_min=config.leapfrog_min,
             leapfrog_max=config.leapfrog_max,
-            burnin=config.burnin, seed=config.adapter_seed)
+            burnin=config.burnin, seed=config.adapter_seed,
+            probe=uturn_probe)
 
     step_sizes = np.full(n_grp, config.step_size_start, np.float64)
     leapfrogs = np.full(n_grp, config.leapfrog_start, np.int64)
@@ -677,7 +694,12 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
                                    n_chains, sampling_step, dtype,
                                    n_adapters=n_adapters,
                                    precondition=fp_precond,
-                                   trajectory=trajectory,
+                                   # off-default probe schedules change the
+                                   # adaptation trajectory -> fingerprinted
+                                   trajectory=(f"{trajectory}:{uturn_probe}"
+                                               if traj_uturn
+                                               and uturn_probe != "always"
+                                               else trajectory),
                                    tempering=(
                                        f"{tempering}@{tempering_beta_min:g}"
                                        if tempering > 1 else None))
@@ -897,6 +919,7 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
         else:
             disp_work = np.full(chunk, float(np.max(leapfrogs)))
         pieces = [(0, chunk)]
+        bootstrapping = False
         if max_dispatch_seconds is not None:
             if disp_cost is not None:
                 pieces = _plan_dispatch_pieces(disp_work, disp_cost,
@@ -909,11 +932,19 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
                 # 10-epoch uturn chunk over the chunked 1M-point
                 # likelihood ratcheted to L=64 ~ 64s, the axon worker
                 # was killed mid-execution and the client hung forever).
-                # Dispatch single epochs until a warm wall yields the
-                # cost estimate (piece 2 of this chunk is already warm).
+                # Dispatch single epochs ONLY until a warm wall yields
+                # the cost estimate — the second size-1 dispatch (or the
+                # first, when size 1 compiled in an earlier chunk) —
+                # then re-plan the chunk remainder at governed sizes.
+                # Dispatching singly to the END of the chunk would
+                # re-create the reference's per-epoch host round-trip
+                # pattern for the whole first chunk (network.py:509-670).
                 pieces = [(j, 1) for j in range(chunk)]
+                bootstrapping = True
         sub_traces = []
-        for d_off, d_n in pieces:
+        pending = list(pieces)
+        while pending:
+            d_off, d_n = pending.pop(0)
             d_leap = (leap_arg[d_off:d_off + d_n] if traj_uturn
                       else leap_arg)
             t_disp = time.perf_counter()
@@ -939,6 +970,14 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
                 disp_first_walls.append((work_d, wall_d))
             disp_sizes_seen.add(d_n)
             sub_traces.append(tr)
+            if bootstrapping and disp_cost is not None:
+                done = d_off + d_n
+                if done < chunk:
+                    pending = [(done + o, n) for o, n in
+                               _plan_dispatch_pieces(
+                                   disp_work[done:], disp_cost,
+                                   max_dispatch_seconds)]
+                bootstrapping = False
         trace = (sub_traces[0] if len(sub_traces) == 1 else
                  jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0),
                               *sub_traces))
@@ -1123,6 +1162,10 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
         eta_samples=eta_stack,
         compile_wall_estimate=compile_wall,
         n_dispatch_compiles=len(disp_first_walls),
+        dispatch_first_walls=tuple(
+            (float(k), float(w)) for k, w in disp_first_walls),
+        dispatch_warm_walls=tuple(
+            (float(k), float(w)) for k, w in disp_warm_walls),
     )
 
 

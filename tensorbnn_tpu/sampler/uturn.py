@@ -73,7 +73,10 @@ class UTurnAdapter:
     def __init__(self, *, step_size_start: float, step_size_min: float,
                  step_size_max: float, leapfrog_start: int,
                  leapfrog_min: int, leapfrog_max: int, burnin: int,
-                 seed: int = 0):
+                 seed: int = 0, probe: str = "always"):
+        if probe not in ("always", "alternate"):
+            raise ValueError(
+                f"probe must be 'always' or 'alternate', got {probe!r}")
         self.eps_min = float(step_size_min)
         self.eps_max = float(step_size_max)
         self.l_min = int(leapfrog_min)
@@ -88,6 +91,15 @@ class UTurnAdapter:
         self.frozen = False
         self.reservoir: List[int] = []
         self.rng = np.random.default_rng(seed)
+        #: probe schedule: "always" executes ceil(l_hat*GROW) every burn-in
+        #: chunk (every trajectory's U-turn is observed; ~GROW-1 extra
+        #: gradient work through burn-in); "alternate" interleaves probe
+        #: chunks with exploit chunks run at l_hat (halving the tax;
+        #: only probe chunks feed the reservoir, so censoring at l_hat
+        #: never biases the length distribution down)
+        self.probe = probe
+        self.n_burn_chunks = 0
+        self._last_was_probe = True
 
     # -- planning ----------------------------------------------------------
 
@@ -97,7 +109,12 @@ class UTurnAdapter:
         if iter_ < self.burnin:
             # probe past the current estimate so U-turns are observed,
             # not censored (censoring ratchets l_hat up via the median)
-            l_exec = int(np.clip(int(math.ceil(self.l_hat * GROW)),
+            probe_now = (self.probe == "always"
+                         or self.n_burn_chunks % 2 == 0)
+            self.n_burn_chunks += 1
+            self._last_was_probe = probe_now
+            l_target = (self.l_hat * GROW) if probe_now else self.l_hat
+            l_exec = int(np.clip(int(math.ceil(l_target)),
                                  self.l_min, self.l_max))
             leaps = np.full(chunk, l_exec, np.int64)
         else:
@@ -140,11 +157,15 @@ class UTurnAdapter:
                                 + (1.0 - wk) * self.log_eps_bar)
             # U-turn lengths into the rolling reservoir (censored
             # trajectories report the executed length — a lower bound
-            # that grows the next probe geometrically via the median)
-            for j in burn_rows:
-                ut = np.asarray(uturns[j], np.int64)
-                ut = np.where(ut == 0, int(executed[j]), ut)
-                self.reservoir.extend(int(v) for v in ut)
+            # that grows the next probe geometrically via the median).
+            # Under the "alternate" schedule only probe chunks feed it:
+            # exploit chunks run AT l_hat, so their censored entries
+            # would anchor the median to itself and stall the ratchet.
+            if self.probe == "always" or self._last_was_probe:
+                for j in burn_rows:
+                    ut = np.asarray(uturns[j], np.int64)
+                    ut = np.where(ut == 0, int(executed[j]), ut)
+                    self.reservoir.extend(int(v) for v in ut)
             if len(self.reservoir) > RESERVOIR_CAP:
                 del self.reservoir[:len(self.reservoir) - RESERVOIR_CAP]
             if self.reservoir:
@@ -167,6 +188,8 @@ class UTurnAdapter:
             "log_eps_bar": self.log_eps_bar, "t": self.t,
             "frozen": self.frozen, "reservoir": list(self.reservoir),
             "rng": self.rng.bit_generator.state,
+            "probe": self.probe, "n_burn_chunks": self.n_burn_chunks,
+            "last_was_probe": self._last_was_probe,
         }
 
     def load_state_dict(self, state: dict) -> None:
@@ -177,3 +200,8 @@ class UTurnAdapter:
         self.frozen = bool(state["frozen"])
         self.reservoir = [int(v) for v in state["reservoir"]]
         self.rng.bit_generator.state = state["rng"]
+        # fields absent in pre-round-4 checkpoints default to the old
+        # always-probe behavior
+        self.probe = state.get("probe", "always")
+        self.n_burn_chunks = int(state.get("n_burn_chunks", 0))
+        self._last_was_probe = bool(state.get("last_was_probe", True))

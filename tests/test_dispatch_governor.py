@@ -115,6 +115,60 @@ def test_compile_wall_accounting():
     assert 0.0 <= res.compile_wall_estimate < res.wall_time
 
 
+def test_bootstrap_bounded_after_warm_cost():
+    # round-3 weak #5: with a budget set and no cost estimate, the old
+    # bootstrap dispatched the ENTIRE first chunk epoch-by-epoch. Now it
+    # pays at most two single-epoch dispatches (the second size-1 wall is
+    # warm and calibrates the cost), then re-plans the chunk remainder at
+    # governed sizes — with a huge budget, one more piece. Results stay
+    # bit-identical.
+    base = _run(None, "adapter")
+    gov = _run(1e9, "adapter")
+    np.testing.assert_array_equal(base.theta_samples, gov.theta_samples)
+    np.testing.assert_array_equal(base.eta_samples, gov.eta_samples)
+    n_base = len(base.dispatch_first_walls) + len(base.dispatch_warm_walls)
+    n_gov = len(gov.dispatch_first_walls) + len(gov.dispatch_warm_walls)
+    assert n_base < n_gov <= n_base + 2
+
+
+def test_dispatch_wall_pairs_auditable():
+    # the artifact carries the raw (work, wall) pairs so the
+    # compile-wall attribution can be recomputed by a reader
+    res = _run(1e9, "adapter")
+    assert res.n_dispatch_compiles == len(res.dispatch_first_walls)
+    assert res.dispatch_warm_walls, "warm dispatches expected in this run"
+    warm_cost = float(np.median(
+        [w / max(k, 1.0) for k, w in res.dispatch_warm_walls]))
+    est = sum(max(0.0, w - warm_cost * max(k, 1.0))
+              for k, w in res.dispatch_first_walls)
+    assert abs(res.compile_wall_estimate - est) < 1e-9
+    for k, w in res.dispatch_first_walls + res.dispatch_warm_walls:
+        assert k >= 1.0 and w >= 0.0
+
+
+def test_single_dispatch_reports_zero_compile_wall():
+    # no warm dispatch exists to calibrate against -> the estimate is 0.0
+    # (never a guess), and the raw pairs still record the one dispatch
+    from tensorbnn_tpu import FixedGaussianLikelihood, GaussianDenseLayer, \
+        Tanh
+    from tensorbnn_tpu.network import Network
+
+    x = np.linspace(-1, 1, 16)
+    y = np.sin(x * math.pi)
+    net = Network(jnp.float32, 1, x, y, x, y, seed=3)
+    net.add(GaussianDenseLayer(1, 5)).add(Tanh())
+    net.add(GaussianDenseLayer(5, 1))
+    net.setup_mcmc(step_size_start=2e-3, leapfrog_start=4, leapfrog_min=2,
+                   leapfrog_max=8, hyper_leapfrog=2, burnin=50,
+                   averaging_steps=10, random_steps=2, adapter_seed=0)
+    res = net.train(2, 1, FixedGaussianLikelihood(sd=0.1),
+                    n_chains=2, verbose=False)
+    total = len(res.dispatch_first_walls) + len(res.dispatch_warm_walls)
+    if len(res.dispatch_warm_walls) == 0:
+        assert res.compile_wall_estimate == 0.0
+    assert total >= 1
+
+
 def test_governed_uturn_run_bit_identical():
     # uturn mode slices the per-epoch leapfrog vector across sub-dispatches
     # and feeds the U-turn schedule one merged trace per planned chunk, so

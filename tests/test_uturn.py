@@ -169,13 +169,57 @@ def test_sampling_draws_come_from_reservoir():
     assert ua.frozen
 
 
-def test_adapter_state_roundtrip():
-    ua = _adapter()
+def test_alternate_probe_halves_burnin_work():
+    """The "alternate" schedule interleaves exploit chunks run at l_hat
+    between probe chunks at ceil(l_hat*GROW), cutting the burn-in probe
+    tax roughly in half while the reservoir still only sees probe-chunk
+    (uncensored) observations."""
+    ua = _adapter(probe="always", leapfrog_start=10, burnin=80)
+    ub = _adapter(probe="alternate", leapfrog_start=10, burnin=80)
+    work_a = work_b = 0
+    for it in range(0, 80, 10):
+        _, la = ua.plan_chunk(it, 10)
+        _, lb = ub.plan_chunk(it, 10)
+        work_a += int(la.sum())
+        work_b += int(lb.sum())
+        ut = np.full((10, 8), 9, np.int64)   # true U-turn at 9 steps
+        ua.observe(it, np.full(10, 0.8), ut, la)
+        ub.observe(it, np.full(10, 0.8), ut, lb)
+    assert work_b < work_a
+    # both learned the same length distribution
+    assert ua.l_hat == ub.l_hat == 9
+    # exploit chunks run at l_hat, probe chunks above it
+    assert ub.probe == "alternate"
+
+
+def test_alternate_probe_reservoir_skips_exploit_censoring():
+    """Censored entries from exploit chunks (executed == l_hat) must not
+    enter the reservoir — they would anchor the median to itself."""
+    ua = _adapter(probe="alternate", leapfrog_start=4, burnin=40)
+    for it in range(0, 40, 4):
+        _, leaps = ua.plan_chunk(it, 4)
+        ua.observe(it, np.full(4, 0.8),
+                   np.zeros((4, 8), np.int64), leaps)   # all censored
+    # probe chunks alone still ratchet l_hat up geometrically
+    assert ua.l_hat > 8
+    # every reservoir entry came from a probe chunk (> l_hat at entry
+    # time, i.e. none equals a bare exploit length of 4)
+    assert min(ua.reservoir) >= 6   # ceil(4 * 1.5)
+
+
+def test_probe_mode_validation():
+    with pytest.raises(ValueError, match="probe"):
+        _adapter(probe="sometimes")
+
+
+@pytest.mark.parametrize("probe", ["always", "alternate"])
+def test_adapter_state_roundtrip(probe):
+    ua = _adapter(probe=probe)
     for it in range(0, 60, 10):
         _, leaps = ua.plan_chunk(it, 10)
         ua.observe(it, np.full(10, 0.5),
                    np.full((10, 4), 9, np.int64), leaps)
-    ub = _adapter()
+    ub = _adapter(probe=probe)
     ub.load_state_dict(ua.state_dict())
     # identical future behavior, including the RNG stream
     for it in (100, 150):
@@ -214,6 +258,16 @@ def test_driver_uturn_mode_calibrates():
     assert 0.55 < acc <= 1.0, acc
     # lengths were learned, not left at the start value
     assert res.final_leapfrog != 8 or res.final_step_size != 2e-3
+
+
+def test_driver_uturn_alternate_probe():
+    net, lik = _make_net(seed=11)
+    res = net.train(160, 4, lik, n_chains=8, chain_jitter=0.05,
+                    trajectory="uturn", uturn_probe="alternate",
+                    verbose=False)
+    assert np.isfinite(res.theta_samples).all()
+    acc = res.main_accept[60:].mean()
+    assert 0.5 < acc <= 1.0, acc
 
 
 def test_driver_uturn_guards():
