@@ -90,37 +90,53 @@ def one_seed(seed: int, epochs: int, burnin: int):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--seeds", type=int, default=3)
+    ap.add_argument("--seeds", type=int, default=10)
     ap.add_argument("--smoke", action="store_true",
                     help="short config for CI-style validation")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--out", type=str, default=None,
+                    help="also write the JSON artifact to this path "
+                         "(machine-readable comparison target for the "
+                         "TF-side recipe), flushed after every seed so an "
+                         "interrupted capture still leaves a valid file")
     args = ap.parse_args()
     if args.cpu:
         import jax
         jax.config.update("jax_platforms", "cpu")
 
     epochs, burnin = (801, 200) if args.smoke else (6001, 1000)
-    runs = [one_seed(s, epochs, burnin) for s in range(args.seeds)]
-    main_acc = [r["main_accept"] for r in runs]
-    hyper_acc = [r["hyper_accept"] for r in runs]
-    print(json.dumps({
-        "metric": f"acceptance-parity dossier ({args.seeds} seeds, "
-                  f"reference trainRegression config, {epochs} epochs)",
-        "value": round(float(np.mean(main_acc)), 4),
-        "unit": "mean post-burn-in main acceptance",
-        "main_accept_mean": round(float(np.mean(main_acc)), 4),
-        "main_accept_sd": round(float(np.std(main_acc)), 4),
-        "hyper_accept_mean": round(float(np.mean(hyper_acc)), 4),
-        "hyper_accept_sd": round(float(np.std(hyper_acc)), 4),
-        "hyper_in_da_band": bool(abs(np.mean(hyper_acc) - 0.95) < 0.15),
-        "predictive_rmse_mean": round(float(np.mean(
-            [r["predictive_rmse"] for r in runs])), 4),
-        "per_seed": runs,
-        "recipe": "docs/parity.md section 4: run the reference's "
-                  "Examples/trainRegression.py over the same seeds in a "
-                  "tensorflow_probability environment and compare means "
-                  "(main within 0.02; hyper inside 0.95 +/- 0.15)",
-    }))
+
+    def artifact(runs):
+        main_acc = [r["main_accept"] for r in runs]
+        hyper_acc = [r["hyper_accept"] for r in runs]
+        return {
+            "metric": f"acceptance-parity dossier ({len(runs)} seeds, "
+                      f"reference trainRegression config, {epochs} epochs)",
+            "value": round(float(np.mean(main_acc)), 4),
+            "unit": "mean post-burn-in main acceptance",
+            "main_accept_mean": round(float(np.mean(main_acc)), 4),
+            "main_accept_sd": round(float(np.std(main_acc)), 4),
+            "hyper_accept_mean": round(float(np.mean(hyper_acc)), 4),
+            "hyper_accept_sd": round(float(np.std(hyper_acc)), 4),
+            "hyper_in_da_band": bool(abs(np.mean(hyper_acc) - 0.95) < 0.15),
+            "predictive_rmse_mean": round(float(np.mean(
+                [r["predictive_rmse"] for r in runs])), 4),
+            "per_seed": runs,
+            "recipe": "docs/parity.md section 4: run the reference's "
+                      "Examples/trainRegression.py over the same seeds in a "
+                      "tensorflow_probability environment and compare means "
+                      "(main within 0.02; hyper inside 0.95 +/- 0.15)",
+        }
+
+    runs = []
+    for s in range(args.seeds):
+        runs.append(one_seed(s, epochs, burnin))
+        if args.out:
+            tmp = args.out + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(artifact(runs), f, indent=1)
+            os.replace(tmp, args.out)
+    print(json.dumps(artifact(runs)))
 
 
 if __name__ == "__main__":

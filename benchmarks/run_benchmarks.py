@@ -516,7 +516,8 @@ def bench_surrogate_quality(n_chains: int = 32, precondition: bool = False,
 
 def ess_run(n_chains: int = 64, n_adapters: int = 1,
             epochs: int = 1300, trajectory: str = "adapter",
-            tempering: int = 1, uturn_probe: str = "always") -> dict:
+            tempering: int = 1, uturn_probe: str = "always",
+            max_dispatch_seconds=None) -> dict:
     """The flagship config through the full adaptive driver, measured as
     quality-adjusted throughput. Returns a result dict (shared with the
     repo-root ``bench.py``, which embeds it in the driver-captured
@@ -555,6 +556,7 @@ def ess_run(n_chains: int = 64, n_adapters: int = 1,
                     chain_jitter=0.05, tracer=tracer,
                     trajectory=trajectory, uturn_probe=uturn_probe,
                     tempering=tempering,
+                    max_dispatch_seconds=max_dispatch_seconds,
                     verbose=False)
     dt = time.perf_counter() - t0
 
@@ -963,6 +965,33 @@ def main():
                                  "ess_per_sec_warm_est",
                                  "compile_wall_seconds",
                                  "final_leapfrog", "final_step_size")},
+        }))
+    if which == "ess_governed":
+        # governor overhead on the flagship (round-3 VERDICT weak #5):
+        # max_dispatch_seconds=25 on vs off, back to back. The governed
+        # run pays (a) the 2-dispatch bootstrap and (b) extra piece-size
+        # compiles; steady-state (warm) walls should agree within ~5%.
+        n = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+        rows = []
+        for governed in (None, 25.0):
+            r = ess_run(n, 1, max_dispatch_seconds=governed)
+            label = "governed@25s" if governed else "ungoverned"
+            log(f"{label}: {r['total_ess']} ESS in {r['wall_seconds']}s "
+                f"({r['compile_wall_seconds']}s compiles) -> "
+                f"{r['ess_per_sec']}/s cold, "
+                f"{r['ess_per_sec_warm_est']}/s warm")
+            rows.append({"governed": bool(governed), **{k2: r[k2] for k2 in (
+                "ess_per_sec", "ess_per_sec_warm_est", "total_ess",
+                "accept_post_burnin", "wall_seconds",
+                "compile_wall_seconds", "n_dispatch_compiles",
+                "dispatch_first_walls", "dispatch_warm_walls")}})
+        warm = [r["wall_seconds"] - r["compile_wall_seconds"] for r in rows]
+        print(json.dumps({
+            "metric": f"dispatch-governor warm-wall overhead ({n} chains, "
+                      f"flagship MLP, budget 25s vs off)",
+            "value": round(warm[1] / max(warm[0], 1e-9), 4),
+            "unit": "x ungoverned warm wall",
+            "sweep": rows,
         }))
     if which == "ess_uturn_probe":
         # the uturn probe-tax measurement (round-3 VERDICT weak #6):
