@@ -39,6 +39,26 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+# --out FILE: flush the (possibly partial) result object to FILE as each
+# row lands. Long TPU sweeps run for many minutes through the axon tunnel;
+# if the process dies (session end, relay outage, worker kill) a buffered
+# stdout JSON line is lost with it — the artifact file is not. Parsed and
+# stripped from argv by main().
+_OUT = None
+
+
+def emit(obj, final=True):
+    """Write ``obj`` to the --out artifact (if any); print on final."""
+    if _OUT:
+        tmp = _OUT + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(obj, f, indent=1)
+            f.write("\n")
+        os.replace(tmp, _OUT)
+    if final:
+        print(json.dumps(obj), flush=True)
+
+
 def _bench_sampler(model, x, y, *, n_chains, leapfrog, hyper_leapfrog,
                    chunk, n_chunks, seed=0, jitter=0.01, step_size=1e-4,
                    state_layout="flat", dtype=None, likelihood=None,
@@ -133,7 +153,7 @@ def bench_wide_deep():
     tflops = flops_per_step * (steps / n_chains) / dt / 1e12
     log(f"wide_deep: {steps} steps in {dt:.2f}s, accept {acc:.3f}, "
         f"{n_params} params/chain, ~{tflops:.2f} TFLOP/s")
-    print(json.dumps({
+    emit({
         "metric": "wide_deep leapfrog steps/sec/chip "
                   "(10x256 MLP, 64 chains)",
         "value": round(rate, 1),
@@ -141,7 +161,7 @@ def bench_wide_deep():
         "approx_tflops": round(tflops, 2),
         "mean_accept": round(acc, 4),
         "potential": "xla-tree",
-    }))
+    })
 
 
 def bench_wide_deep_bf16(batches=(128, 1024, 4096)):
@@ -199,7 +219,7 @@ def bench_wide_deep_bf16(batches=(128, 1024, 4096)):
     log(f"fixed per-iter cost ~{fixed_ms:.2f} ms "
         f"(state streaming) + {1e3 * per_row_ms:.2f} us/row; "
         f"bf16 speedups {speedups}")
-    print(json.dumps({
+    emit({
         "metric": "wide_deep bf16-vs-f32 leapfrog steps/sec "
                   f"(10x256 MLP, batch sweep {list(batches)}, 64 chains)",
         "value": round(results[(max(batches), "bfloat16")][0], 1),
@@ -212,7 +232,7 @@ def bench_wide_deep_bf16(batches=(128, 1024, 4096)):
         "fixed_ms_per_iter_f32": round(fixed_ms, 3),
         "us_per_row_f32": round(1e3 * per_row_ms, 3),
         "potential": "xla-tree",
-    }))
+    })
 
 
 def bench_classification():
@@ -258,7 +278,7 @@ def bench_classification():
     ops, _ = _model_program(model, BernoulliLikelihood())
     auto_pick = "fused" if fused_profitable(ops, n_data) else "xla"
     best = max(rates, key=rates.get)
-    print(json.dumps({
+    emit({
         "metric": "classification leapfrog steps/sec/chip "
                   f"(SquarePrelu+sigmoid+Bernoulli, 3x{width} MLP, "
                   f"{n_chains} chains)",
@@ -269,7 +289,7 @@ def bench_classification():
         **({"xla_value": round(rates["xla"], 1),
             "fused_speedup": round(rates["fused"] / rates["xla"], 3)}
            if "fused" in rates and "xla" in rates else {}),
-    }))
+    })
 
 
 def bench_multiclass():
@@ -306,7 +326,7 @@ def bench_multiclass():
             f"{steps / dt:,.0f} steps/sec, accept {acc:.3f}")
 
     best = max(rates, key=rates.get)
-    print(json.dumps({
+    emit({
         "metric": "multiclass leapfrog steps/sec/chip "
                   f"(Softmax+Categorical, {k} classes, {n_chains} chains)",
         "value": round(rates[best], 1),
@@ -316,7 +336,7 @@ def bench_multiclass():
             "trajectory_speedup": round(
                 rates["trajectory"] / rates["xla"], 3)}
            if "trajectory" in rates and "xla" in rates else {}),
-    }))
+    })
 
 
 def bench_surrogate():
@@ -346,7 +366,7 @@ def bench_surrogate():
     points_per_sec = grad_evals_per_sec * n_points
     log(f"surrogate: {steps} full-batch leapfrog steps over 1M points in "
         f"{dt:.2f}s, accept {acc:.3f}")
-    print(json.dumps({
+    emit({
         "metric": "surrogate full-data leapfrog steps/sec "
                   "(1M-point likelihood, single chip)",
         "value": round(rate, 2),
@@ -354,7 +374,7 @@ def bench_surrogate():
         "likelihood_point_grads_per_sec": round(points_per_sec, 0),
         "mean_accept": round(acc, 4),
         "potential": "xla-tree",
-    }))
+    })
 
 
 def bench_surrogate_quality(n_chains: int = 32, precondition: bool = False,
@@ -484,7 +504,7 @@ def bench_surrogate_quality(n_chains: int = 32, precondition: bool = False,
         f"{series.shape[0]} draws x {n_chains} chains, ESS {ess:.1f} "
         f"(min-param {float(param_ess):.1f}), {dt:.0f}s wall, "
         f"final eps {res.final_step_size:.2e}, L {res.final_leapfrog}")
-    print(json.dumps({
+    emit({
         "metric": f"surrogate ESS/sec (1M-point likelihood, adaptive "
                   f"two-block driver, {n_chains} chains"
                   f"{', diag-metric preconditioned' if precondition else ''}"
@@ -511,7 +531,7 @@ def bench_surrogate_quality(n_chains: int = 32, precondition: bool = False,
         "dispatch_warm_walls": [[round(k, 1), round(w, 3)]
                                 for k, w in res.dispatch_warm_walls],
         "potential": "xla-tree",
-    }))
+    })
 
 
 def ess_run(n_chains: int = 64, n_adapters: int = 1,
@@ -628,7 +648,7 @@ def bench_ess(n_chains: int = 64, n_adapters: int = 1):
     log(f"ess: {r['total_ess']} effective samples across {n_chains} "
         f"chains in {r['wall_seconds']}s wall (incl. compile); "
         f"min-param ESS {r['min_param_ess']}")
-    print(json.dumps({
+    emit({
         "metric": f"ESS/sec (predictive summary, {n_chains} chains, "
                   f"{n_adapters} adapter group(s), flagship MLP)",
         "value": r["ess_per_sec"],
@@ -637,7 +657,7 @@ def bench_ess(n_chains: int = 64, n_adapters: int = 1):
         "min_param_ess": r["min_param_ess"],
         "median_param_ess": r["median_param_ess"],
         "mean_accept": r["accept_post_burnin"],
-    }))
+    })
 
 
 def bench_ess_group_sweep(n_chains: int = 512,
@@ -653,18 +673,21 @@ def bench_ess_group_sweep(n_chains: int = 512,
         log(f"G={g}: {r['total_ess']} ESS in {r['wall_seconds']}s "
             f"-> {r['ess_per_sec']}/s, accept {r['accept_post_burnin']}")
         rows.append({"n_adapters": g, **{k: r[k] for k in (
-            "ess_per_sec", "total_ess", "min_param_ess",
+            "ess_per_sec", "ess_per_sec_warm_est", "compile_wall_seconds",
+            "total_ess", "min_param_ess",
             "accept_post_burnin", "wall_seconds",
             "straggler_efficiency")}})
+        emit({"metric": "adapter-group sweep (partial)", "sweep": rows},
+             final=False)
     best = max(rows, key=lambda r: r["ess_per_sec"])
-    print(json.dumps({
+    emit({
         "metric": f"adapter-group sweep ESS/sec ({n_chains} chains, "
                   f"G in {list(groups)}, flagship MLP)",
         "value": best["ess_per_sec"],
         "unit": "effective samples/sec",
         "best_n_adapters": best["n_adapters"],
         "sweep": rows,
-    }))
+    })
 
 
 def bench_predict():
@@ -719,13 +742,13 @@ def bench_predict():
     net_points = reps * n_nets * batch
     log(f"predict: {n_nets} nets x {batch} points x {reps} reps in "
         f"{dt:.2f}s (incl. host transfer of {out.nbytes / 1e6:.0f}MB/rep)")
-    print(json.dumps({
+    emit({
         "metric": "posterior-ensemble prediction throughput "
                   f"({n_nets}-network 3x10 MLP ensemble)",
         "value": round(net_points / dt, 0),
         "unit": "network-predictions/sec",
         "batch": batch,
-    }))
+    })
 
 
 def bench_tempering(n_chains: int = 16, rungs: int = 8,
@@ -797,7 +820,7 @@ def bench_tempering(n_chains: int = 16, rungs: int = 8,
         f"swap accept {swap:.3f}, wall plain {wall_plain:.1f}s "
         f"({plain_warm:.1f}s warm) vs {rungs}-rung {wall_temp:.1f}s "
         f"({temp_warm:.1f}s warm)")
-    print(json.dumps({
+    emit({
         "metric": f"parallel-tempering rung-axis cost ({rungs} rungs x "
                   f"{n_chains} chains, bimodal sign-flip BNN)",
         "value": round(temp_warm / max(plain_warm, 1e-9), 3),
@@ -814,7 +837,7 @@ def bench_tempering(n_chains: int = 16, rungs: int = 8,
         "rungs": rungs,
         "n_chains": n_chains,
         "epochs": epochs,
-    }))
+    })
 
 
 def bench_writer(n_chains: int = 512):
@@ -857,17 +880,22 @@ def bench_writer(n_chains: int = 512):
     log(f"writer: {reps * n_chains} networks in {dt:.2f}s -> "
         f"{nets_per_sec:,.0f} networks/sec "
         f"(native formatter: {fast_text.native_available()})")
-    print(json.dumps({
+    emit({
         "metric": f"streaming-writer throughput (flagship 3x10 MLP, "
                   f"{n_chains} chains/epoch, reference text format)",
         "value": round(nets_per_sec, 1),
         "unit": "networks/sec",
         "seconds_per_epoch_at_512_chains": round(512 / nets_per_sec, 3),
         "native_formatter": fast_text.native_available(),
-    }))
+    })
 
 
 def main():
+    global _OUT
+    if "--out" in sys.argv:
+        i = sys.argv.index("--out")
+        _OUT = os.path.abspath(sys.argv[i + 1])
+        del sys.argv[i:i + 2]
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     if which in ("wide_deep", "all"):
         bench_wide_deep()
@@ -934,13 +962,15 @@ def main():
                 "total_ess", "min_param_ess", "accept_post_burnin",
                 "swap_accept_mean",
                 "wall_seconds", "compile_wall_seconds")})
-        print(json.dumps({
+            emit({"metric": "ess_tempered (partial)", "sweep": rows},
+                 final=False)
+        emit({
             "metric": f"tempered-lane ESS/sec ({n} chains, K=1 vs K={k} "
                       f"rung ladder, flagship MLP)",
             "value": rows[-1]["ess_per_sec"],
             "unit": "effective samples/sec",
             "sweep": rows,
-        }))
+        })
     if which == "ess_uturn":
         # flagship fleet under NUTS-style dynamic lengths; runs through
         # the fused trajectory kernel's record_uturn variant (the kernel
@@ -953,7 +983,7 @@ def main():
             f"{r['wall_seconds']}s "
             f"-> {r['ess_per_sec']}/s, accept {r['accept_post_burnin']}, "
             f"final L {r['final_leapfrog']}")
-        print(json.dumps({
+        emit({
             "metric": f"ESS/sec (predictive summary, {n} chains, "
                       f"uturn dynamic trajectories, probe={probe}, "
                       f"flagship MLP)",
@@ -965,7 +995,7 @@ def main():
                                  "ess_per_sec_warm_est",
                                  "compile_wall_seconds",
                                  "final_leapfrog", "final_step_size")},
-        }))
+        })
     if which == "ess_governed":
         # governor overhead on the flagship (round-3 VERDICT weak #5):
         # max_dispatch_seconds=25 on vs off, back to back. The governed
@@ -985,14 +1015,16 @@ def main():
                 "accept_post_burnin", "wall_seconds",
                 "compile_wall_seconds", "n_dispatch_compiles",
                 "dispatch_first_walls", "dispatch_warm_walls")}})
+            emit({"metric": "ess_governed (partial)", "sweep": rows},
+                 final=False)
         warm = [r["wall_seconds"] - r["compile_wall_seconds"] for r in rows]
-        print(json.dumps({
+        emit({
             "metric": f"dispatch-governor warm-wall overhead ({n} chains, "
                       f"flagship MLP, budget 25s vs off)",
             "value": round(warm[1] / max(warm[0], 1e-9), 4),
             "unit": "x ungoverned warm wall",
             "sweep": rows,
-        }))
+        })
     if which == "ess_uturn_probe":
         # the uturn probe-tax measurement (round-3 VERDICT weak #6):
         # probe=always (every burn-in chunk at ceil(l_hat*1.5)) vs
@@ -1011,13 +1043,15 @@ def main():
                 "ess_per_sec", "ess_per_sec_warm_est", "total_ess",
                 "min_param_ess", "accept_post_burnin", "wall_seconds",
                 "compile_wall_seconds", "final_leapfrog")}})
-        print(json.dumps({
+            emit({"metric": "ess_uturn_probe (partial)", "sweep": rows},
+                 final=False)
+        emit({
             "metric": f"uturn probe-tax sweep ({n} chains, "
                       f"probe always vs alternate, flagship MLP)",
             "value": rows[-1]["ess_per_sec"],
             "unit": "effective samples/sec",
             "sweep": rows,
-        }))
+        })
     if which == "tempering":
         # optional args: rungs, chains
         rungs = int(sys.argv[2]) if len(sys.argv) > 2 else 8
