@@ -536,7 +536,8 @@ def bench_surrogate_quality(n_chains: int = 32, precondition: bool = False,
 
 def ess_run(n_chains: int = 64, n_adapters: int = 1,
             epochs: int = 1300, trajectory: str = "adapter",
-            tempering: int = 1, uturn_probe: str = "always",
+            tempering: int = 1, tempering_beta_min: float = 0.1,
+            uturn_probe: str = "always",
             max_dispatch_seconds=None) -> dict:
     """The flagship config through the full adaptive driver, measured as
     quality-adjusted throughput. Returns a result dict (shared with the
@@ -576,6 +577,7 @@ def ess_run(n_chains: int = 64, n_adapters: int = 1,
                     chain_jitter=0.05, tracer=tracer,
                     trajectory=trajectory, uturn_probe=uturn_probe,
                     tempering=tempering,
+                    tempering_beta_min=tempering_beta_min,
                     max_dispatch_seconds=max_dispatch_seconds,
                     verbose=False)
     dt = time.perf_counter() - t0
@@ -600,6 +602,8 @@ def ess_run(n_chains: int = 64, n_adapters: int = 1,
         "n_adapters": n_adapters,
         "trajectory": trajectory,
         "tempering": tempering,
+        "tempering_beta_min": (tempering_beta_min if tempering > 1
+                               else None),
         "epochs": epochs,
         "ess_per_sec": round(total_ess / dt, 2),
         # compile-adjusted companion: axon cannot cache compiles across
@@ -945,12 +949,15 @@ def main():
         # same-session comparison (cold compiles hit both equally).
         n = int(sys.argv[2]) if len(sys.argv) > 2 else 64
         k = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+        beta_min = float(sys.argv[4]) if len(sys.argv) > 4 else 0.1
         if k < 2:
-            sys.exit("usage: ess_tempered [n_chains] [k_rungs>=2] — "
+            sys.exit("usage: ess_tempered [n_chains] [k_rungs>=2] "
+                     "[beta_min] — "
                      "k=1 would compare the untempered config to itself")
         rows = []
         for temper in (1, k):
-            r = ess_run(n, 1, tempering=temper)
+            r = ess_run(n, 1, tempering=temper,
+                        tempering_beta_min=beta_min)
             log(f"tempering={temper}: {r['total_ess']} ESS in "
                 f"{r['wall_seconds']}s -> {r['ess_per_sec']}/s "
                 f"(warm est {r['ess_per_sec_warm_est']}/s), "
@@ -958,7 +965,8 @@ def main():
                 f"swap accept {r['swap_accept_mean']}, "
                 f"min-param ESS {r['min_param_ess']}")
             rows.append({k2: r[k2] for k2 in (
-                "tempering", "ess_per_sec", "ess_per_sec_warm_est",
+                "tempering", "tempering_beta_min",
+                "ess_per_sec", "ess_per_sec_warm_est",
                 "total_ess", "min_param_ess", "accept_post_burnin",
                 "swap_accept_mean",
                 "wall_seconds", "compile_wall_seconds")})
@@ -966,7 +974,8 @@ def main():
                  final=False)
         emit({
             "metric": f"tempered-lane ESS/sec ({n} chains, K=1 vs K={k} "
-                      f"rung ladder, flagship MLP)",
+                      f"rung ladder @ beta_min={beta_min:g}, "
+                      f"flagship MLP)",
             "value": rows[-1]["ess_per_sec"],
             "unit": "effective samples/sec",
             "sweep": rows,
