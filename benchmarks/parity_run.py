@@ -99,6 +99,11 @@ def main():
                          "(machine-readable comparison target for the "
                          "TF-side recipe), flushed after every seed so an "
                          "interrupted capture still leaves a valid file")
+    ap.add_argument("--resume", action="store_true",
+                    help="load --out if it exists and run only the seeds "
+                         "it does not already contain (a timed-out 10-seed "
+                         "capture continues where it stopped; each full "
+                         "seed is ~12 min of TPU wall)")
     args = ap.parse_args()
     if args.cpu:
         import jax
@@ -129,7 +134,17 @@ def main():
         }
 
     runs = []
+    done = set()
+    if args.resume and args.out and os.path.exists(args.out):
+        with open(args.out) as f:
+            prior = json.load(f)
+        runs = list(prior.get("per_seed", []))
+        done = {int(r["seed"]) for r in runs}
+        log(f"resume: {len(done)} seeds already in {args.out}: "
+            f"{sorted(done)}")
     for s in range(args.seeds):
+        if s in done:
+            continue
         runs.append(one_seed(s, epochs, burnin))
         if args.out:
             tmp = args.out + ".tmp"

@@ -475,6 +475,9 @@ def bench_surrogate_quality(n_chains: int = 32, precondition: bool = False,
     res = net.train(epochs, sampling_step, GaussianLikelihood(sd=0.1),
                     n_chains=n_chains, chain_jitter=0.0,
                     data_chunk=125_000,
+                    # progress lines every 50 epochs: a timed-out run
+                    # still leaves its pace + acceptance in the log
+                    display_skip=50,
                     precondition=60 if precondition else False,
                     precondition_windows=windows,
                     precondition_clip=clip,
@@ -626,6 +629,13 @@ def ess_run(n_chains: int = 64, n_adapters: int = 1,
         # a tempered win/loss to swaps firing vs. a mistuned ladder
         "swap_accept_mean": (round(float(np.mean(res.swap_accept)), 4)
                              if res.swap_accept is not None else None),
+        # per-rung swap rates (mean over epochs): a ladder gap that never
+        # fires shows as adjacent rungs both ~0 — attributes a tempered
+        # win/loss to swaps firing vs a mistuned ladder from the artifact
+        "swap_accept_rung": (
+            [round(float(v), 4)
+             for v in np.asarray(res.swap_accept_rung).mean(axis=0)]
+            if res.swap_accept_rung is not None else None),
         "total_ess": round(total_ess, 1),
         "min_param_ess": round(float(param_ess), 1),
         "median_param_ess": round(param_ess.median, 1),
@@ -968,7 +978,7 @@ def main():
                 "tempering", "tempering_beta_min",
                 "ess_per_sec", "ess_per_sec_warm_est",
                 "total_ess", "min_param_ess", "accept_post_burnin",
-                "swap_accept_mean",
+                "swap_accept_mean", "swap_accept_rung",
                 "wall_seconds", "compile_wall_seconds")})
             emit({"metric": "ess_tempered (partial)", "sweep": rows},
                  final=False)
@@ -1051,7 +1061,11 @@ def main():
             rows.append({"uturn_probe": probe, **{k2: r[k2] for k2 in (
                 "ess_per_sec", "ess_per_sec_warm_est", "total_ess",
                 "min_param_ess", "accept_post_burnin", "wall_seconds",
-                "compile_wall_seconds", "final_leapfrog")}})
+                "compile_wall_seconds", "final_leapfrog",
+                # raw per-dispatch (work, wall) pairs: the probe-tax
+                # anatomy (burn-in probe work vs dispatch overhead) is
+                # auditable from the artifact alone
+                "dispatch_first_walls", "dispatch_warm_walls")}})
             emit({"metric": "ess_uturn_probe (partial)", "sweep": rows},
                  final=False)
         emit({

@@ -154,6 +154,16 @@ def test_tempered_run_shapes_and_swap_trace():
     assert 0.0 <= float(res.swap_accept.mean()) <= 1.0
     # some swaps must actually happen on this easy target
     assert float(res.swap_accept.sum()) > 0.0
+    # per-rung attribution: (n_epochs, K); equal chains per rung makes
+    # the fleet mean the rung-mean of the per-rung rates
+    assert res.swap_accept_rung is not None
+    assert res.swap_accept_rung.shape == (40, 3)
+    np.testing.assert_allclose(res.swap_accept_rung.mean(axis=1),
+                               res.swap_accept, rtol=0, atol=1e-12)
+    # an exchange has two ends: the fleetwide swapped mass per epoch is
+    # even, so each rung's overall rate is bounded by its partners'
+    assert np.all(res.swap_accept_rung >= 0.0)
+    assert np.all(res.swap_accept_rung <= 1.0)
 
 
 def test_tempering_validation():
