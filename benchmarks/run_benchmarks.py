@@ -380,7 +380,9 @@ def bench_surrogate():
 def bench_surrogate_quality(n_chains: int = 32, precondition: bool = False,
                             windows: int = 1, clip=(1e-2, 1e2),
                             uturn: bool = False,
-                            uturn_probe: str = "always"):
+                            uturn_probe: str = "always",
+                            compensated: bool = False,
+                            matmul_precision=None):
     """The surrogate config as a *posterior*, not just a throughput number
     (round-1 PERF_NOTES gap 4): run the full adaptive driver with a step
     grid at the ~1e-7 scale this 1M-point target needs, assert acceptance
@@ -435,11 +437,21 @@ def bench_surrogate_quality(n_chains: int = 32, precondition: bool = False,
         batch_size=8192, callbacks=False, hidden_activation="tanh")
 
     net = Network(jnp.float32, d_in, x, y, x[:256], y[:256], seed=3)
-    net.add(GaussianDenseLayer(d_in, width),
+    # matmul_precision="highest" removes the MXU default-precision
+    # staircase: TPU's default f32 matmul rounds operands to bf16, so at
+    # this posterior's eps (~1e-8 against bf16-ulp(|theta|) ~ 4e-4) the
+    # evaluated density is locally piecewise-constant in theta with
+    # O(nats) jumps at weight rounding boundaries — a ΔH pseudo-noise
+    # floor the MH test pays regardless of integrator accuracy
+    # (diagnosed by `potential_noise`; PERF_NOTES round 4)
+    net.add(GaussianDenseLayer(d_in, width,
+                               matmul_precision=matmul_precision),
             parameters=dense_warm_start(w, b, 0)).add(Tanh())
-    net.add(GaussianDenseLayer(width, width),
+    net.add(GaussianDenseLayer(width, width,
+                               matmul_precision=matmul_precision),
             parameters=dense_warm_start(w, b, 1)).add(Tanh())
-    net.add(GaussianDenseLayer(width, 1),
+    net.add(GaussianDenseLayer(width, 1,
+                               matmul_precision=matmul_precision),
             parameters=dense_warm_start(w, b, 2))
     burnin = 200
     # step grid capped at 1e-6: the GP adapter maximizes SJD, whose
@@ -483,6 +495,10 @@ def bench_surrogate_quality(n_chains: int = 32, precondition: bool = False,
                     precondition_clip=clip,
                     trajectory="uturn" if uturn else "adapter",
                     uturn_probe=uturn_probe,
+                    # Kahan-compensated integrator: this target's stable
+                    # eps sits within a few ulps of |theta| (PERF_NOTES
+                    # round 4), where the plain f32 drift quantizes
+                    compensated=compensated,
                     # axon kills the worker when one XLA execution runs
                     # ~60-90s+; uturn's ratcheting lengths over the 1M-point
                     # chunked likelihood cross that without the governor
@@ -529,11 +545,162 @@ def bench_surrogate_quality(n_chains: int = 32, precondition: bool = False,
         "precond_clip": list(clip) if precondition else None,
         "trajectory": "uturn" if uturn else "adapter",
         "uturn_probe": uturn_probe if uturn else None,
+        "compensated": compensated,
+        "matmul_precision": matmul_precision,
         "dispatch_first_walls": [[round(k, 1), round(w, 3)]
                                  for k, w in res.dispatch_first_walls],
         "dispatch_warm_walls": [[round(k, 1), round(w, 3)]
                                 for k, w in res.dispatch_warm_walls],
+        "dispatch_wall_seconds": round(res.dispatch_wall_total, 2),
+        "trace_fetch_wall_seconds": round(res.trace_fetch_wall, 2),
+        "untracked_wall_seconds": round(res.untracked_wall, 2),
         "potential": "xla-tree",
+    })
+
+
+def bench_potential_noise():
+    """Measures the 1M-point potential's evaluation-noise floor in theta —
+    the quantity that caps MH acceptance once the integrator is exact.
+
+    Two suspects, measured separately:
+
+    1. **MXU default-precision staircase**: TPU's default f32 matmul
+       rounds operands to bf16 (one MXU pass), so the evaluated log
+       posterior only changes when a weight crosses a bf16 rounding
+       boundary (ulp(|w| ~ 0.1) = 3.9e-4 — 5 decades above this
+       posterior's eps). Each crossing jumps the 1M-row log likelihood
+       by ~(dLL/dw) x ulp_bf16 = O(nats). Diagnostic: walk theta along a
+       momentum-like ray, theta(t) = theta0 + t*u with per-coordinate
+       displacement t, and record lp(t) - lp(0) at default vs
+       precision="highest" (exact f32 matmul). Default shows flat
+       segments punctuated by nat-scale jumps; highest tracks the smooth
+       directional derivative.
+
+    2. **f32 summation rounding** across the chunked reduction — bounded
+       by the Kahan chunk carry (sampler/potential.py) + XLA's in-chunk
+       tree reduce; expected sub-0.1-nat. The highest-precision curve's
+       residual vs t * <g, u> measures what's left of it.
+
+    Also times value+grad at default / high / highest under the sampler's
+    chain batching (C=32), so the staircase fix's cost is measured, not
+    assumed. Runs on the real TPU; emits one JSON row of raw curves.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from tensorbnn_tpu import GaussianDenseLayer, GaussianLikelihood, Tanh
+    from tensorbnn_tpu.network import Network
+    from tensorbnn_tpu.sampler.potential import flatten_state, \
+        make_potentials
+
+    n_points, d_in, width = 1_000_000, 8, 64
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(n_points, d_in)).astype(np.float32)
+    y = (np.sin(x.sum(axis=1)) + 0.1 * rng.normal(
+        size=n_points)).astype(np.float32)
+
+    from tensorbnn_tpu.training.pretrain import dense_warm_start, \
+        train_basic_regression
+    log("potential_noise: data built, pretraining to the MAP "
+        "(same config as surrogate_quality)...")
+    w, b, _ = train_basic_regression(
+        2, d_in, 1, width, cycles=1, epochs=4, alpha=0.1,
+        train_in=x, train_out=y, val_in=x[:4096], val_out=y[:4096],
+        batch_size=8192, callbacks=False, hidden_activation="tanh")
+
+    lik = GaussianLikelihood(sd=0.1)
+
+    def build(precision):
+        net = Network(jnp.float32, d_in, x, y, x[:256], y[:256], seed=3)
+        net.add(GaussianDenseLayer(d_in, width, matmul_precision=precision),
+                parameters=dense_warm_start(w, b, 0)).add(Tanh())
+        net.add(GaussianDenseLayer(width, width,
+                                   matmul_precision=precision),
+                parameters=dense_warm_start(w, b, 1)).add(Tanh())
+        net.add(GaussianDenseLayer(width, 1, matmul_precision=precision),
+                parameters=dense_warm_start(w, b, 2))
+        params, hypers = net.init_state()
+        flat = flatten_state(params, hypers, lik.init_hypers())
+        pots = make_potentials(net.model, lik, jnp.asarray(x),
+                               jnp.asarray(y), flat.unravel_theta,
+                               flat.unravel_eta, data_chunk=125_000)
+        return flat, pots
+
+    flat0, pots_def = build(None)
+    _, pots_hi = build("highest")
+    _, pots_h3 = build("high")
+    theta0 = jnp.asarray(flat0.theta)
+    eta0 = jnp.asarray(flat0.eta)
+    d_dim = int(theta0.size)
+
+    # momentum-like ray: per-coordinate N(0,1), so t is directly the
+    # per-coordinate displacement scale — comparable to the sampler's eps
+    u = jnp.asarray(np.random.default_rng(7).normal(
+        size=d_dim).astype(np.float32))
+
+    val_def = jax.jit(lambda t: pots_def.main(theta0 + t * u, eta0))
+    val_hi = jax.jit(lambda t: pots_hi.main(theta0 + t * u, eta0))
+    # directional derivative at the exact-matmul potential: the smooth
+    # truth the curves are judged against
+    g_hi = jax.jit(jax.grad(lambda th: pots_hi.main(th, eta0)))(theta0)
+    slope = float(jnp.vdot(g_hi, u))
+
+    # grid floor 1e-8: below that the f32 *position* can't represent the
+    # displacement at all (theta0 + t*u == theta0 bitwise for
+    # |theta| ~ 0.1 coordinates) — that is the integrator-representation
+    # floor, a different wall from the matmul staircase this measures
+    ts = [0.0] + [float(t) for t in np.logspace(-8, -4.5, 15)]
+    rows = []
+    lp0_def = lp0_hi = None
+    for t in ts:
+        ld = float(val_def(jnp.float32(t)))
+        lh = float(val_hi(jnp.float32(t)))
+        if t == 0.0:
+            lp0_def, lp0_hi = ld, lh
+            continue
+        rows.append({"t": t,
+                     "dlp_default": round(ld - lp0_def, 6),
+                     "dlp_highest": round(lh - lp0_hi, 6),
+                     "dlp_linear": round(slope * t, 6)})
+        log(f"potential_noise: t={t:.3e}  default {ld - lp0_def:+.4f}  "
+            f"highest {lh - lp0_hi:+.4f}  linear {slope * t:+.4f}")
+
+    # staircase amplitude: departure of the default curve from the
+    # exact-matmul curve, over the eps decades the sampler lives in
+    small = [r for r in rows if r["t"] <= 1e-6]
+    stair = [abs(r["dlp_default"] - r["dlp_highest"]) for r in small]
+    resid = [abs(r["dlp_highest"] - r["dlp_linear"]) for r in small]
+
+    # cost of the fix under sampler conditions: C=32 batched value+grad
+    C = 32
+    thb = jnp.tile(theta0[None], (C, 1))
+    etb = jnp.tile(eta0[None], (C, 1))
+    costs = {}
+    for name, pots in (("default", pots_def), ("high", pots_h3),
+                       ("highest", pots_hi)):
+        vg = jax.jit(jax.vmap(lambda th, et, p=pots: (
+            lambda v, g: v + jnp.sum(g))(*p.main_vg(th, et))))
+        float(jnp.sum(vg(thb, etb)))  # compile + warm
+        reps, t0 = 5, time.perf_counter()
+        for _ in range(reps):
+            s = vg(thb, etb)
+        float(jnp.sum(s))
+        costs[name] = round((time.perf_counter() - t0) / reps, 4)
+        log(f"potential_noise: value+grad C={C} {name}: {costs[name]}s")
+
+    emit({
+        "metric": "potential evaluation noise (1M-point surrogate, "
+                  "default vs highest matmul precision)",
+        "value": round(float(np.median(stair)), 4),
+        "unit": "nats (median |default - highest| dlp, t <= 1e-6)",
+        "staircase_max_nats": round(float(np.max(stair)), 4),
+        "highest_residual_max_nats": round(float(np.max(resid)), 4),
+        "directional_slope": round(slope, 4),
+        "curves": rows,
+        "vg_cost_c32_seconds": costs,
+        "theta_dim": d_dim,
+        "lp0_default": round(lp0_def, 4),
+        "lp0_highest": round(lp0_hi, 4),
     })
 
 
@@ -625,6 +792,16 @@ def ess_run(n_chains: int = 64, n_adapters: int = 1,
                                  for k, w in res.dispatch_first_walls],
         "dispatch_warm_walls": [[round(k, 1), round(w, 3)]
                                 for k, w in res.dispatch_warm_walls],
+        # the three wall buckets: dispatch (device work + compile),
+        # trace fetch (device->host materialization over the tunnel),
+        # and the remainder (host adapter algebra, writer IO, backend
+        # session overhead — tunnel warmup dominates first-in-process
+        # runs). Round 4 measured runs whose wall was dominated by the
+        # untracked bucket; these fields make that attributable from
+        # the artifact.
+        "dispatch_wall_seconds": round(res.dispatch_wall_total, 2),
+        "trace_fetch_wall_seconds": round(res.trace_fetch_wall, 2),
+        "untracked_wall_seconds": round(res.untracked_wall, 2),
         # replica-swap acceptance (None unless tempering > 1): attributes
         # a tempered win/loss to swaps firing vs. a mistuned ladder
         "swap_accept_mean": (round(float(np.mean(res.swap_accept)), 4)
@@ -921,17 +1098,28 @@ def main():
         bench_surrogate_quality()
     if which == "surrogate_quality_precond":
         # optional extra args: windows, clip_lo (the burn-in window/clip
-        # ablation — see PERF_NOTES "windowed metric" table)
+        # ablation — see PERF_NOTES "windowed metric" table), matmul
+        # precision ("high"/"highest" — the MXU staircase fix)
         windows = int(sys.argv[2]) if len(sys.argv) > 2 else 1
         clip_lo = float(sys.argv[3]) if len(sys.argv) > 3 else 1e-2
+        mprec = sys.argv[4] if len(sys.argv) > 4 else None
         bench_surrogate_quality(precondition=True, windows=windows,
-                                clip=(clip_lo, 1e2))
+                                clip=(clip_lo, 1e2),
+                                matmul_precision=mprec)
     if which == "surrogate_quality_uturn":
         precond = len(sys.argv) > 2 and sys.argv[2] == "precond"
         windows = int(sys.argv[3]) if len(sys.argv) > 3 else 1
         probe = sys.argv[4] if len(sys.argv) > 4 else "always"
+        compd = len(sys.argv) > 5 and sys.argv[5] == "kahan"
+        mprec = sys.argv[6] if len(sys.argv) > 6 else None
         bench_surrogate_quality(precondition=precond, uturn=True,
-                                windows=windows, uturn_probe=probe)
+                                windows=windows, uturn_probe=probe,
+                                compensated=compd,
+                                matmul_precision=mprec)
+    if which == "potential_noise":
+        # ΔH noise-floor diagnostic: the MXU default-precision staircase
+        # vs exact-f32 matmuls on the 1M-point target (PERF_NOTES round 4)
+        bench_potential_noise()
     if which in ("classification", "all"):
         bench_classification()
     if which in ("multiclass", "all"):

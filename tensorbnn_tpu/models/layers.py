@@ -130,7 +130,32 @@ class _DenseCompute:
     round 3). The log posterior then *is* the bf16-forward density: MH
     acceptance stays exact for that (slightly perturbed) target, so chains
     remain valid draws; default is full f32 for bitwise-stable parity runs.
+
+    ``matmul_precision`` raises the precision instead: on TPU the
+    *default* f32 matmul also rounds its operands to bf16 on the MXU
+    (one pass), which makes the evaluated log posterior a **staircase**
+    in theta — weights move continuously but the density only changes
+    when a weight crosses a bf16 rounding boundary, and on a big-data
+    posterior each such crossing jumps the log likelihood by O(nats)
+    (gradient-sized jump x bf16 ulp, summed over N rows). The MH test
+    then sees O(nats) of pseudo-noise per trajectory that shrinks only
+    ~linearly in eps, capping acceptance far below the integrator's
+    eps^2 curve (measured on the 1M-point surrogate,
+    benchmarks/PERF_NOTES.md round 4). ``"highest"`` evaluates the f32
+    matmul exactly (multi-pass on the MXU); ``"high"`` is the cheaper
+    3-pass bf16 variant. The precision threads through to the VJP's
+    transposed matmuls too, so gradients sharpen with the values.
+    Mutually exclusive with ``compute_dtype`` (which *asks* for bf16
+    operands).
     """
+
+    def __post_init__(self):
+        if (getattr(self, "compute_dtype", None)
+                and getattr(self, "matmul_precision", None)):
+            raise ValueError(
+                "compute_dtype and matmul_precision are mutually "
+                "exclusive: one asks for bf16 operands, the other for "
+                "exact-f32 matmuls")
 
     def _dense_apply(self, params, x):
         cd = getattr(self, "compute_dtype", None)
@@ -139,6 +164,9 @@ class _DenseCompute:
             y = jnp.dot(x.astype(dt), params["w"].astype(dt),
                         preferred_element_type=jnp.float32)
             return (y + params["b"]).astype(dt)
+        prec = getattr(self, "matmul_precision", None)
+        if prec is not None:
+            return jnp.dot(x, params["w"], precision=prec) + params["b"]
         return x @ params["w"] + params["b"]
 
 
@@ -194,6 +222,7 @@ class GaussianDenseLayer(_DenseCompute, _DenseRefIO, LayerSpec):
     n_ref_param_tensors: int = 2
     n_ref_hyper_scalars: int = 4
     compute_dtype: Optional[str] = None  # e.g. "bfloat16" (MXU-native)
+    matmul_precision: Optional[str] = None  # "high"/"highest" (see above)
 
     def init(self, key, dtype=jnp.float32):
         w, b = _he_like_init(key, self.in_dim, self.out_dim, dtype)
@@ -243,6 +272,7 @@ class CauchyDenseLayer(_DenseCompute, _DenseRefIO, LayerSpec):
     n_ref_param_tensors: int = 2
     n_ref_hyper_scalars: int = 4
     compute_dtype: Optional[str] = None  # e.g. "bfloat16" (MXU-native)
+    matmul_precision: Optional[str] = None  # "high"/"highest" (see above)
 
     def _cauchy(self, gamma, x0, x):
         fn = cauchy_logprob if self.proper else cauchy_logprob_compat

@@ -151,6 +151,7 @@ class Network:
               precondition=False,
               precondition_clip=(1e-2, 1e2),
               precondition_windows: int = 1,
+              compensated: bool = False,
               trajectory: str = "adapter",
               uturn_probe: str = "always",
               tempering: int = 1,
@@ -195,6 +196,7 @@ class Network:
             data_chunk=data_chunk, precondition=precondition,
             precondition_clip=precondition_clip,
             precondition_windows=precondition_windows,
+            compensated=compensated,
             trajectory=trajectory,
             uturn_probe=uturn_probe,
             tempering=tempering,

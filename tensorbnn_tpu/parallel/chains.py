@@ -84,6 +84,7 @@ def make_multichain_chunk_runner(model: Sequential, likelihood: Likelihood,
                                  traced_step_scale: bool = False,
                                  record_uturn: bool = False,
                                  per_epoch_leapfrog: bool = False,
+                                 compensated: bool = False,
                                  tempering_beta=None):
     """Builds ``run_chunk(carry, x, y, step_size, leapfrog, n_epochs)`` over
     batched chains.
@@ -112,6 +113,10 @@ def make_multichain_chunk_runner(model: Sequential, likelihood: Likelihood,
     remote compile through the axon tunnel costs 5-460s). Without it the
     closure constant ``step_scale`` is baked in (the single-estimate
     legacy path).
+
+    ``compensated`` opts the main-block integrator into Kahan-compensated
+    accumulation (sampler/hmc.py) — for big-data posteriors whose stable
+    step size sits within a few ulps of the state magnitude.
 
     ``record_uturn`` threads the per-epoch first-U-turn step into the
     trace (sampler/hmc.py). ``per_epoch_leapfrog`` makes the ``leapfrog``
@@ -164,7 +169,8 @@ def make_multichain_chunk_runner(model: Sequential, likelihood: Likelihood,
                     eta_dim=carry.eta.shape[-1],
                     data_chunk=data_chunk,
                     step_scale=scale,
-                    record_uturn=record_uturn)
+                    record_uturn=record_uturn,
+                    compensated=compensated)
                 tree_carry = carry._replace(theta=unravel_b(carry.theta))
 
                 def step(c, leap):
@@ -195,6 +201,7 @@ def make_multichain_chunk_runner(model: Sequential, likelihood: Likelihood,
                 data_chunk=data_chunk,
                 step_scale=scale,
                 record_uturn=record_uturn,
+                compensated=compensated,
                 tempering_beta=tempering_beta)
 
             if per_epoch_leapfrog:

@@ -152,6 +152,27 @@ class RunResult:
     #: from the artifact rather than taken on faith
     dispatch_first_walls: tuple = ()
     dispatch_warm_walls: tuple = ()
+    #: wall seconds spent materializing device traces on the host
+    #: (diagnostics + sample rows crossing the tunnel) — the third wall
+    #: bucket next to dispatch and compile. ``wall_time`` minus
+    #: ``dispatch_wall_total`` minus this is the run's untracked host
+    #: time (adapter algebra, writer IO, backend/session overhead) —
+    #: attributable from the artifact instead of guessed.
+    trace_fetch_wall: float = 0.0
+
+    @property
+    def dispatch_wall_total(self) -> float:
+        """Sum of every recorded dispatch wall (first-of-shape + warm)."""
+        return (sum(w for _, w in self.dispatch_first_walls)
+                + sum(w for _, w in self.dispatch_warm_walls))
+
+    @property
+    def untracked_wall(self) -> float:
+        """``wall_time`` not covered by dispatches or trace fetches:
+        host-side adapter algebra, writer IO, and backend/session
+        overhead (tunnel warmup dominates first-in-process runs)."""
+        return self.wall_time - self.dispatch_wall_total \
+            - self.trace_fetch_wall
 
     @property
     def theta_pooled(self) -> np.ndarray:
@@ -243,6 +264,7 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
                      precondition=False,
                      precondition_clip=(1e-2, 1e2),
                      precondition_windows: int = 1,
+                     compensated: bool = False,
                      trajectory: str = "adapter",
                      uturn_probe: str = "always",
                      tempering: int = 1,
@@ -319,6 +341,16 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
     ``l_hat`` (~25% tax); only probe chunks feed the length reservoir, so
     exploit-chunk censoring never biases the distribution down
     (sampler/uturn.py).
+
+    ``compensated``: Kahan-compensated main-block leapfrog accumulation
+    (sampler/hmc.py) — opt in for big-data posteriors whose stable step
+    size sits within a few ulps of the parameter magnitude, where the
+    plain f32 drift quantizes (measured on the 1M-point surrogate:
+    eps ~ 4e-8 against |theta| ~ 0.1 leaves ~3-ulp drifts, 30% per-step
+    integration error) or freezes entirely. Two extra vector ops per
+    leapfrog step; runs on the XLA integrators (bypasses the Pallas
+    kernels, whose tiny-data regime never needs it). Off by default —
+    existing runs compile the exact same programs as before.
 
     ``tempering``: number of parallel-tempering rungs (1 = off). With
     ``K > 1`` the fleet widens rung-major to ``K * n_chains`` replicas
@@ -474,6 +506,16 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
                 "Pallas kernels take a scalar step size); use "
                 "use_fused='auto' or False")
         use_fused = False
+    if compensated:
+        if use_fused is True:
+            raise ValueError(
+                "compensated is incompatible with use_fused=True (the "
+                "Pallas kernels integrate in-program without the "
+                "compensation carries); use use_fused='auto' or False")
+        # the fused kernels only engage in the tiny-data regime, where
+        # eps sits orders of magnitude clear of the f32 quantization
+        # edge — compensated runs are big-data runs on the XLA path
+        use_fused = False
     clip_lo, clip_hi = (float(precondition_clip[0]),
                         float(precondition_clip[1]))
     if not (0 < clip_lo <= clip_hi):
@@ -610,6 +652,7 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
             # unaffected — they only engage in the tiny-data regime anyway)
             data_chunk=data_chunk,
             step_scale=step_scale,
+            compensated=compensated,
             # preconditioned runs take the scale as a traced argument so
             # each burn-in window's re-estimate swaps in for free (no
             # retrace — remote compiles cost 5-460s through axon)
@@ -702,12 +745,15 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
                                    n_chains, sampling_step, dtype,
                                    n_adapters=n_adapters,
                                    precondition=fp_precond,
-                                   # off-default probe schedules change the
-                                   # adaptation trajectory -> fingerprinted
-                                   trajectory=(f"{trajectory}:{uturn_probe}"
-                                               if traj_uturn
-                                               and uturn_probe != "always"
-                                               else trajectory),
+                                   # off-default probe schedules / the
+                                   # compensated integrator change the
+                                   # trajectory -> fingerprinted
+                                   trajectory=((f"{trajectory}:{uturn_probe}"
+                                                if traj_uturn
+                                                and uturn_probe != "always"
+                                                else trajectory)
+                                               + ("+kahan" if compensated
+                                                  else "")),
                                    tempering=(
                                        f"{tempering}@{tempering_beta_min:g}"
                                        if tempering > 1 else None))
@@ -857,6 +903,13 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
     # remote compile. Feeds RunResult.compile_wall_estimate.
     disp_first_walls = []
     disp_warm_walls = []
+    # host materialization of device traces (diagnostics rows + sample
+    # rows crossing the tunnel): the third wall bucket next to dispatch
+    # and compile, so end-to-end wall gaps are attributable from the
+    # artifact instead of guessed (measured round 4: a first-in-process
+    # run logged 906s against ~17s of dispatch walls — the excess was
+    # exactly this untracked host/tunnel time)
+    fetch_wall = 0.0
     while iter_ < epochs:
         if (precond_at is not None and windows_fired < len(precond_epochs)
                 and iter_ >= precond_epochs[windows_fired]):
@@ -990,6 +1043,7 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
                  jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0),
                               *sub_traces))
 
+        t_fetch = time.perf_counter()
         sjd = np.asarray(trace.sjd)            # (chunk, C)
         if tracer is not None:
             # executed kicks per chain: in grouped mode each chain runs its
@@ -1004,6 +1058,7 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
                                  float(leapfrogs.max()))
         m_acc = np.asarray(trace.main_accept)  # (chunk, C)
         h_acc = np.asarray(trace.hyper_accept)
+        fetch_wall += time.perf_counter() - t_fetch
         # per-group mean SJD feeds each group's adapter (full fleet; under
         # tempering the groups ARE the rungs)
         sjd_grp = sjd.reshape(chunk, n_grp, grp_chains).mean(axis=2)
@@ -1015,7 +1070,9 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
         main_accepts.append(m_acc[:, :n_chains].mean(axis=1))
         hyper_accepts.append(h_acc[:, :n_chains].mean(axis=1))
         if tempering > 1 and trace.swap_accept is not None:
+            t_fetch = time.perf_counter()
             swapped = np.asarray(trace.swap_accept)      # (chunk, K*C)
+            fetch_wall += time.perf_counter() - t_fetch
             swap_accepts.append(swapped.mean(axis=1))
             # rung-major fleet: per-rung rate attributes which ladder
             # gaps actually exchange (VERDICT r3 #2 attribution)
@@ -1025,8 +1082,11 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
         if traj_uturn:
             # replay the chunk through the U-turn schedule (DA step-size
             # updates + U-turn length reservoir, burn-in epochs only)
+            t_fetch = time.perf_counter()
+            uturns_host = np.asarray(trace.uturn)
+            fetch_wall += time.perf_counter() - t_fetch
             uturn_ad.observe(iter_, m_acc.mean(axis=1),
-                             np.asarray(trace.uturn), leap_vec)
+                             uturns_host, leap_vec)
             step_sizes[0] = float(uturn_ad.eps)
             leapfrogs[0] = int(uturn_ad.l_hat)
 
@@ -1044,8 +1104,10 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
             idx = jnp.asarray(sorted(need_rows))
             # cold chains only (device-side slice: hot tempering replicas
             # never cross the tunnel)
+            t_fetch = time.perf_counter()
             th_rows = np.asarray(trace.theta[idx, :n_chains])
             et_rows = np.asarray(trace.eta[idx, :n_chains])
+            fetch_wall += time.perf_counter() - t_fetch
             rows = {j: (th_rows[k], et_rows[k])
                     for k, j in enumerate(sorted(need_rows))}
 
@@ -1180,6 +1242,7 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
             (float(k), float(w)) for k, w in disp_first_walls),
         dispatch_warm_walls=tuple(
             (float(k), float(w)) for k, w in disp_warm_walls),
+        trace_fetch_wall=float(fetch_wall),
     )
 
 
@@ -1199,6 +1262,13 @@ def _run_fingerprint(config: MCMCConfig, model, likelihood, flat,
         desc = type(layer).__name__
         if hasattr(layer, "in_dim") and hasattr(layer, "out_dim"):
             desc += f"({layer.in_dim},{layer.out_dim})"
+        # off-default compute settings change the evaluated density ->
+        # fingerprinted (markers absent at defaults, so pre-existing
+        # checkpoints keep their fingerprint value)
+        if getattr(layer, "compute_dtype", None):
+            desc += f"@{layer.compute_dtype}"
+        if getattr(layer, "matmul_precision", None):
+            desc += f"@prec={layer.matmul_precision}"
         layers.append(desc)
     fp = {} if n_adapters == 1 else {"n_adapters": int(n_adapters)}
     if trajectory != "adapter":

@@ -83,6 +83,7 @@ def make_epoch_fn(model: Sequential, likelihood: Likelihood, x, y,
                   data_chunk: Optional[int] = None,
                   step_scale=None,
                   record_uturn: bool = False,
+                  compensated: bool = False,
                   tempering_beta=None):
     """Builds ``epoch_fn(carry, step_size, leapfrog) -> (carry, trace_row)``
     over a chain-batched carry.
@@ -102,6 +103,14 @@ def make_epoch_fn(model: Sequential, likelihood: Likelihood, x, y,
     potential's sufficient statistics, so it only engages when the stats
     form applies.
 
+    ``compensated``: Kahan-compensated main-block integrator
+    accumulation (sampler/hmc.py) for targets whose stable step size
+    sits within a few ulps of the state magnitude. Main block only: the
+    hyper chain's state is O(1) with step sizes >= ~1e-6, two orders of
+    magnitude clear of the f32 quantization regime. Incompatible with
+    the fused trajectory kernel (the kernel integrates in-program; the
+    driver simply does not build it for compensated runs).
+
     ``tempering_beta``: per-chain ``(C,)`` inverse temperatures for
     parallel tempering (sampler/tempering.py; rung-major over the chain
     axis). When set, both HMC blocks target the power posterior
@@ -112,6 +121,9 @@ def make_epoch_fn(model: Sequential, likelihood: Likelihood, x, y,
     (``batched_main_vg``) bakes the untempered posterior, so the driver
     never passes it for tempered runs.
     """
+    if compensated and batched_main_traj is not None:
+        raise ValueError("compensated leapfrog is handled by the XLA "
+                         "kernels; build without batched_main_traj")
     potentials = make_potentials(model, likelihood, x, y,
                                  unravel_theta, unravel_eta,
                                  axis_name=axis_name,
@@ -197,7 +209,7 @@ def make_epoch_fn(model: Sequential, likelihood: Likelihood, x, y,
             main = hmc_step_batched(
                 k_main, carry.theta, main_vg_fn,
                 step_size, leapfrog, step_scale=step_scale,
-                record_uturn=record_uturn)
+                record_uturn=record_uturn, compensated=compensated)
         theta = main.position
 
         # SJD scaled by L^(-1/2) (reference paramAdapter.py:219-222)
@@ -303,7 +315,8 @@ def make_tree_epoch_fn(model: Sequential, likelihood: Likelihood, x, y,
                        eta_dim: Optional[int] = None,
                        data_chunk: Optional[int] = None,
                        step_scale=None,
-                       record_uturn: bool = False):
+                       record_uturn: bool = False,
+                       compensated: bool = False):
     """Tree-state epoch step for wide models.
 
     The main-chain state lives as a stacked params pytree (leaves (C, ...))
@@ -400,7 +413,8 @@ def make_tree_epoch_fn(model: Sequential, likelihood: Likelihood, x, y,
                              step_size, leapfrog,
                              momentum_fn=momentum_fn,
                              scale_tree=scale_tree,
-                             record_uturn=record_uturn)
+                             record_uturn=record_uturn,
+                             compensated=compensated)
         theta = main.position
 
         # SJD scaled by L^(-1/2), tree-reduced per chain

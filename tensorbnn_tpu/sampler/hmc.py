@@ -33,6 +33,28 @@ import jax.numpy as jnp
 from jax import lax
 
 
+def _kahan_add(s, c, d):
+    """One compensated accumulation step (Kahan 1965): returns the new
+    rounded running sum and carried rounding error, tracking the true sum
+    to ~twice the working precision using only working-precision ops —
+    the TPU-native alternative to f64 state (no native f64 on the VPU).
+
+    Why the integrator needs it: a plain f32 drift ``q + eps*v`` loses
+    ``ulp(|q|)`` per step. Once ``|eps*v|`` falls within a few ulps of
+    ``|q|`` the integration error per step is tens of percent, and below
+    one ulp the position silently freezes. Measured on the 1M-point
+    surrogate (benchmarks/PERF_NOTES.md round 4): its posterior widths
+    force ``eps ~ 1e-7`` against ``|theta| ~ 0.1`` — ulp(0.1) = 7.5e-9 —
+    so the U-turn controller's step-size search walked straight into the
+    quantization regime (acceptance 0.05 at eps 3.8e-8, paradoxically
+    *rising* as eps shrank further: classic quantized-drift signature).
+    Two extra vector ops per step is free next to a 1M-point gradient.
+    """
+    y = d - c
+    t = s + y
+    return t, (t - s) - y
+
+
 class HMCResult(NamedTuple):
     position: jax.Array      # new flat position, (D,)
     log_prob: jax.Array      # log target density at the new position
@@ -124,7 +146,8 @@ def hmc_step(key, position: jax.Array, log_prob_fn: Callable,
 def leapfrog_batched(vg_fn: Callable, positions: jax.Array,
                      momenta: jax.Array, step_size, n_steps,
                      record_uturn: bool = False,
-                     uturn_inv_scale=None) -> tuple:
+                     uturn_inv_scale=None,
+                     compensated: bool = False) -> tuple:
     """Chain-batched leapfrog: positions (C, D), vg_fn (C, D) -> ((C,), (C, D)).
 
     ``step_size`` is a traced scalar or a per-chain ``(C, 1)`` column;
@@ -147,6 +170,13 @@ def leapfrog_batched(vg_fn: Callable, positions: jax.Array,
     preconditioner the check runs in the *transformed* space where
     momenta are isotropic — the displacement is divided by the metric
     scale (pass ``1/step_scale``).
+
+    ``compensated``: Kahan-compensated drift and kick accumulation (see
+    ``_kahan_add``) — opt in for targets whose stable step size is tiny
+    relative to the state magnitude (big-data posteriors: the 1M-point
+    surrogate needs eps within a few ulps of ``|theta|``, where the
+    plain f32 update quantizes or freezes). Off by default: the plain
+    path compiles the exact same program as before the option existed.
     """
     lp0, g0 = vg_fn(positions)
     momenta = momenta + 0.5 * step_size * g0
@@ -163,15 +193,26 @@ def leapfrog_batched(vg_fn: Callable, positions: jax.Array,
             i, *_ = carry
             return i < n_steps
 
-        def body(carry):
-            i, q, v, _lp, _g, ut = carry
-            q = q + step_size * v
-            lp, g = vg_fn(q)
-            v = v + step_size * g
-            if record_uturn:
-                ut = jnp.where((ut == 0) & (uturn_proj(q, v) < 0),
-                               i + 1, ut)
-            return (i + 1, q, v, lp, g, ut)
+        if compensated:
+            def body(carry):
+                i, q, cq, v, cv, _lp, _g, ut = carry
+                q, cq = _kahan_add(q, cq, step_size * v)
+                lp, g = vg_fn(q)
+                v, cv = _kahan_add(v, cv, step_size * g)
+                if record_uturn:
+                    ut = jnp.where((ut == 0) & (uturn_proj(q, v) < 0),
+                                   i + 1, ut)
+                return (i + 1, q, cq, v, cv, lp, g, ut)
+        else:
+            def body(carry):
+                i, q, v, _lp, _g, ut = carry
+                q = q + step_size * v
+                lp, g = vg_fn(q)
+                v = v + step_size * g
+                if record_uturn:
+                    ut = jnp.where((ut == 0) & (uturn_proj(q, v) < 0),
+                                   i + 1, ut)
+                return (i + 1, q, v, lp, g, ut)
     else:
         n_vec = jnp.reshape(n_steps, (-1,))
         cap = jnp.max(n_vec)
@@ -180,24 +221,49 @@ def leapfrog_batched(vg_fn: Callable, positions: jax.Array,
             i, *_ = carry
             return i < cap
 
-        def body(carry):
-            # frozen chains (i >= their L) drift/kick by zero; vg_fn
-            # re-evaluates at the unchanged position, so the endpoint
-            # (lp, g) they carry out stays exact
-            i, q, v, _lp, _g, ut = carry
-            act = (i < n_vec)[:, None]
-            q = q + jnp.where(act, step_size * v, 0.0)
-            lp, g = vg_fn(q)
-            v = v + jnp.where(act, step_size * g, 0.0)
-            if record_uturn:
-                ut = jnp.where((ut == 0) & act[:, 0]
-                               & (uturn_proj(q, v) < 0), i + 1, ut)
-            return (i + 1, q, v, lp, g, ut)
+        if compensated:
+            def body(carry):
+                # frozen chains keep (q, cq, v, cv) untouched — gating
+                # the *outputs* rather than zeroing the increment, so a
+                # pending compensation never leaks into a frozen chain
+                i, q, cq, v, cv, _lp, _g, ut = carry
+                act = (i < n_vec)[:, None]
+                qn, cqn = _kahan_add(q, cq, step_size * v)
+                q = jnp.where(act, qn, q)
+                cq = jnp.where(act, cqn, cq)
+                lp, g = vg_fn(q)
+                vn, cvn = _kahan_add(v, cv, step_size * g)
+                v = jnp.where(act, vn, v)
+                cv = jnp.where(act, cvn, cv)
+                if record_uturn:
+                    ut = jnp.where((ut == 0) & act[:, 0]
+                                   & (uturn_proj(q, v) < 0), i + 1, ut)
+                return (i + 1, q, cq, v, cv, lp, g, ut)
+        else:
+            def body(carry):
+                # frozen chains (i >= their L) drift/kick by zero; vg_fn
+                # re-evaluates at the unchanged position, so the endpoint
+                # (lp, g) they carry out stays exact
+                i, q, v, _lp, _g, ut = carry
+                act = (i < n_vec)[:, None]
+                q = q + jnp.where(act, step_size * v, 0.0)
+                lp, g = vg_fn(q)
+                v = v + jnp.where(act, step_size * g, 0.0)
+                if record_uturn:
+                    ut = jnp.where((ut == 0) & act[:, 0]
+                                   & (uturn_proj(q, v) < 0), i + 1, ut)
+                return (i + 1, q, v, lp, g, ut)
 
     uturn0 = jnp.zeros(positions.shape[0], jnp.int32)
-    _, q, v, lp, g, uturn = lax.while_loop(
-        cond, body, (jnp.asarray(0, jnp.int32), positions, momenta,
-                     lp0, g0, uturn0))
+    if compensated:
+        zeros = jnp.zeros_like(positions)
+        _, q, _cq, v, _cv, lp, g, uturn = lax.while_loop(
+            cond, body, (jnp.asarray(0, jnp.int32), positions, zeros,
+                         momenta, zeros, lp0, g0, uturn0))
+    else:
+        _, q, v, lp, g, uturn = lax.while_loop(
+            cond, body, (jnp.asarray(0, jnp.int32), positions, momenta,
+                         lp0, g0, uturn0))
     v = v - 0.5 * step_size * g
     if record_uturn:
         return q, v, lp, g, uturn
@@ -208,7 +274,8 @@ def hmc_step_batched(keys, positions: jax.Array, vg_fn: Callable,
                      step_size, n_leapfrog,
                      current_log_prob=None,
                      step_scale=None,
-                     record_uturn: bool = False) -> HMCResult:
+                     record_uturn: bool = False,
+                     compensated: bool = False) -> HMCResult:
     """One HMC transition over a (C, D) chain batch with per-chain keys.
 
     All per-chain quantities (momenta, energies, MH coins, accepts) are
@@ -227,6 +294,13 @@ def hmc_step_batched(keys, positions: jax.Array, vg_fn: Callable,
     ``record_uturn``: populate ``HMCResult.uturn`` with each chain's
     first U-turn step (see ``leapfrog_batched``; the check runs in the
     metric-transformed space when ``step_scale`` is given).
+
+    ``compensated``: Kahan-compensated integrator accumulation for
+    tiny-eps regimes (see ``leapfrog_batched``). Detailed balance is
+    untouched — compensation only changes *how accurately* the
+    deterministic leapfrog map is evaluated in f32, not the map being
+    approximated, and the MH correction already absorbs integrator
+    error of either size.
     """
     if jnp.ndim(step_size) == 1:
         step_size = step_size[:, None]
@@ -249,10 +323,12 @@ def hmc_step_batched(keys, positions: jax.Array, vg_fn: Callable,
     if record_uturn:
         q_new, v_new, lp_new, _, uturn = leapfrog_batched(
             vg_fn, positions, momenta, step_size, n_leapfrog,
-            record_uturn=True, uturn_inv_scale=inv_scale)
+            record_uturn=True, uturn_inv_scale=inv_scale,
+            compensated=compensated)
     else:
         q_new, v_new, lp_new, _ = leapfrog_batched(
-            vg_fn, positions, momenta, step_size, n_leapfrog)
+            vg_fn, positions, momenta, step_size, n_leapfrog,
+            compensated=compensated)
     kinetic1 = 0.5 * jnp.sum(v_new * v_new, axis=-1)
 
     log_accept_ratio = (lp_new - current_log_prob) + (kinetic0 - kinetic1)
@@ -313,9 +389,38 @@ def _tree_axpy(a, x_tree, y_tree, scale_tree=None):
     return jax.tree.map(upd, y_tree, x_tree, scale_tree)
 
 
+def _tree_axpy_kahan(a, x_tree, y_tree, c_tree, scale_tree=None,
+                     act=None):
+    """Compensated leafwise ``y += a * x`` (see ``_kahan_add``): returns
+    the updated sum tree and carried-error tree. ``act`` (``(C,)`` bool)
+    optionally freezes chains — their sum AND error leaves pass through
+    untouched, so pending compensation never leaks into a frozen chain."""
+    ys, treedef = jax.tree.flatten(y_tree)
+    cs = jax.tree.leaves(c_tree)
+    xs = jax.tree.leaves(x_tree)
+    ss = (jax.tree.leaves(scale_tree) if scale_tree is not None
+          else [None] * len(ys))
+    new_y, new_c = [], []
+    for y, c, x, s in zip(ys, cs, xs, ss):
+        scale = a
+        if jnp.ndim(a) == 1:
+            scale = a.reshape((-1,) + (1,) * (y.ndim - 1))
+        d = scale * x if s is None else scale * (s * x)
+        t, cn = _kahan_add(y, c, d)
+        if act is not None:
+            m = act.reshape((-1,) + (1,) * (y.ndim - 1))
+            t = jnp.where(m, t, y)
+            cn = jnp.where(m, cn, c)
+        new_y.append(t)
+        new_c.append(cn)
+    return (jax.tree.unflatten(treedef, new_y),
+            jax.tree.unflatten(treedef, new_c))
+
+
 def leapfrog_tree(vg_fn: Callable, positions, momenta, step_size,
                   n_steps, scale_tree=None,
-                  record_uturn: bool = False) -> tuple:
+                  record_uturn: bool = False,
+                  compensated: bool = False) -> tuple:
     """Tree-state chain-batched leapfrog. ``vg_fn(tree) -> ((C,), tree)``.
 
     ``step_size`` may be a scalar or a per-chain ``(C,)`` vector;
@@ -327,6 +432,10 @@ def leapfrog_tree(vg_fn: Callable, positions, momenta, step_size,
     ``record_uturn``: additionally returns the per-chain first-U-turn
     step (see ``leapfrog_batched``; with ``scale_tree`` the projection
     divides displacements by the metric scale leafwise).
+
+    ``compensated``: Kahan-compensated drift/kick accumulation for
+    tiny-eps regimes (see ``leapfrog_batched``); off by default, and the
+    plain path compiles the exact program it did before the option.
     """
     lp0, g0 = vg_fn(positions)
     momenta = _tree_axpy(0.5 * step_size, g0, momenta, scale_tree)
@@ -353,15 +462,26 @@ def leapfrog_tree(vg_fn: Callable, positions, momenta, step_size,
             i, *_ = carry
             return i < n_steps
 
-        def body(carry):
-            i, q, v, _lp, _g, ut = carry
-            q = _tree_axpy(step_size, v, q, scale_tree)
-            lp, g = vg_fn(q)
-            v = _tree_axpy(step_size, g, v, scale_tree)
-            if record_uturn:
-                ut = jnp.where((ut == 0) & (uturn_proj(q, v) < 0),
-                               i + 1, ut)
-            return (i + 1, q, v, lp, g, ut)
+        if compensated:
+            def body(carry):
+                i, q, cq, v, cv, _lp, _g, ut = carry
+                q, cq = _tree_axpy_kahan(step_size, v, q, cq, scale_tree)
+                lp, g = vg_fn(q)
+                v, cv = _tree_axpy_kahan(step_size, g, v, cv, scale_tree)
+                if record_uturn:
+                    ut = jnp.where((ut == 0) & (uturn_proj(q, v) < 0),
+                                   i + 1, ut)
+                return (i + 1, q, cq, v, cv, lp, g, ut)
+        else:
+            def body(carry):
+                i, q, v, _lp, _g, ut = carry
+                q = _tree_axpy(step_size, v, q, scale_tree)
+                lp, g = vg_fn(q)
+                v = _tree_axpy(step_size, g, v, scale_tree)
+                if record_uturn:
+                    ut = jnp.where((ut == 0) & (uturn_proj(q, v) < 0),
+                                   i + 1, ut)
+                return (i + 1, q, v, lp, g, ut)
     else:
         n_vec = jnp.reshape(n_steps, (-1,))
         cap = jnp.max(n_vec)
@@ -371,22 +491,43 @@ def leapfrog_tree(vg_fn: Callable, positions, momenta, step_size,
             i, *_ = carry
             return i < cap
 
-        def body(carry):
-            i, q, v, _lp, _g, ut = carry
-            eff = jnp.where(i < n_vec, eps_vec, 0.0)
-            q = _tree_axpy(eff, v, q, scale_tree)
-            lp, g = vg_fn(q)
-            v = _tree_axpy(eff, g, v, scale_tree)
-            if record_uturn:
-                ut = jnp.where((ut == 0) & (i < n_vec)
-                               & (uturn_proj(q, v) < 0), i + 1, ut)
-            return (i + 1, q, v, lp, g, ut)
+        if compensated:
+            def body(carry):
+                i, q, cq, v, cv, _lp, _g, ut = carry
+                act = i < n_vec
+                q, cq = _tree_axpy_kahan(eps_vec, v, q, cq, scale_tree,
+                                         act=act)
+                lp, g = vg_fn(q)
+                v, cv = _tree_axpy_kahan(eps_vec, g, v, cv, scale_tree,
+                                         act=act)
+                if record_uturn:
+                    ut = jnp.where((ut == 0) & act
+                                   & (uturn_proj(q, v) < 0), i + 1, ut)
+                return (i + 1, q, cq, v, cv, lp, g, ut)
+        else:
+            def body(carry):
+                i, q, v, _lp, _g, ut = carry
+                eff = jnp.where(i < n_vec, eps_vec, 0.0)
+                q = _tree_axpy(eff, v, q, scale_tree)
+                lp, g = vg_fn(q)
+                v = _tree_axpy(eff, g, v, scale_tree)
+                if record_uturn:
+                    ut = jnp.where((ut == 0) & (i < n_vec)
+                                   & (uturn_proj(q, v) < 0), i + 1, ut)
+                return (i + 1, q, v, lp, g, ut)
 
     n_chains = jax.tree.leaves(positions)[0].shape[0]
     uturn0 = jnp.zeros(n_chains, jnp.int32)
-    _, q, v, lp, g, uturn = lax.while_loop(
-        cond, body, (jnp.asarray(0, jnp.int32), positions, momenta,
-                     lp0, g0, uturn0))
+    if compensated:
+        zq = jax.tree.map(jnp.zeros_like, positions)
+        zv = jax.tree.map(jnp.zeros_like, momenta)
+        _, q, _cq, v, _cv, lp, g, uturn = lax.while_loop(
+            cond, body, (jnp.asarray(0, jnp.int32), positions, zq,
+                         momenta, zv, lp0, g0, uturn0))
+    else:
+        _, q, v, lp, g, uturn = lax.while_loop(
+            cond, body, (jnp.asarray(0, jnp.int32), positions, momenta,
+                         lp0, g0, uturn0))
     v = _tree_axpy(-0.5 * step_size, g, v, scale_tree)
     if record_uturn:
         return q, v, lp, g, uturn
@@ -396,7 +537,8 @@ def leapfrog_tree(vg_fn: Callable, positions, momenta, step_size,
 def hmc_step_tree(keys, positions, vg_fn: Callable, step_size,
                   n_leapfrog, momentum_fn: Optional[Callable] = None,
                   scale_tree=None,
-                  record_uturn: bool = False) -> HMCResult:
+                  record_uturn: bool = False,
+                  compensated: bool = False) -> HMCResult:
     """One HMC transition over a stacked-pytree chain batch.
 
     ``momentum_fn(chain_keys) -> tree`` optionally overrides momentum
@@ -404,7 +546,9 @@ def hmc_step_tree(keys, positions, vg_fn: Callable, step_size,
     sampler so tree- and flat-layout runs consume identical PRNG streams
     (bitwise-comparable trajectories). ``scale_tree`` is the diagonal-
     metric preconditioner (see ``leapfrog_tree``). ``record_uturn``
-    populates ``HMCResult.uturn`` (see ``hmc_step_batched``)."""
+    populates ``HMCResult.uturn`` (see ``hmc_step_batched``).
+    ``compensated``: Kahan-compensated integrator accumulation (see
+    ``leapfrog_batched``)."""
     keys2 = jax.vmap(lambda k: jax.random.split(k))(keys)
     key_mom, key_mh = keys2[:, 0], keys2[:, 1]
     momenta = (momentum_fn(key_mom) if momentum_fn is not None
@@ -416,11 +560,12 @@ def hmc_step_tree(keys, positions, vg_fn: Callable, step_size,
     if record_uturn:
         q_new, v_new, lp_new, _, uturn = leapfrog_tree(
             vg_fn, positions, momenta, step_size, n_leapfrog,
-            scale_tree=scale_tree, record_uturn=True)
+            scale_tree=scale_tree, record_uturn=True,
+            compensated=compensated)
     else:
         q_new, v_new, lp_new, _ = leapfrog_tree(
             vg_fn, positions, momenta, step_size, n_leapfrog,
-            scale_tree=scale_tree)
+            scale_tree=scale_tree, compensated=compensated)
     kinetic1 = 0.5 * _tree_sum_sq(v_new)
 
     log_accept_ratio = (lp_new - current_log_prob) + (kinetic0 - kinetic1)

@@ -28,6 +28,7 @@ from jax.flatten_util import ravel_pytree
 
 from tensorbnn_tpu.likelihoods import Likelihood
 from tensorbnn_tpu.models.sequential import Sequential
+from tensorbnn_tpu.sampler.hmc import _kahan_add
 
 
 class FlatModelState(NamedTuple):
@@ -116,10 +117,21 @@ def _chunked_loglik(model, likelihood, x, y,
         return likelihood.log_likelihood(preds, yc, lik_hypers)
 
     def total(params, lik_hypers):
-        def body(acc, xy):
+        # Kahan-compensated carry (sampler/hmc.py:_kahan_add): the plain
+        # sequential carry loses ~ulp(|total|)/2 per chunk — at 1M-point
+        # log-likelihood magnitudes (|LL| ~ 1e5-1e6, ulp ~ 0.01-0.1 nats)
+        # that is a per-evaluation pseudo-noise the MH test pays twice
+        # per transition. Two extra scalar ops per chunk; the symbolic
+        # derivative of the compensation cancels exactly, so the VJP's
+        # gradient accumulation is structurally unchanged.
+        def body(carry, xy):
+            acc, comp = carry
             xc, yc = xy
-            return acc + one_chunk(params, lik_hypers, xc, yc), None
-        out, _ = lax.scan(body, jnp.zeros((), x.dtype), (xs, ys))
+            acc, comp = _kahan_add(acc, comp,
+                                   one_chunk(params, lik_hypers, xc, yc))
+            return (acc, comp), None
+        zero = jnp.zeros((), x.dtype)
+        (out, _), _ = lax.scan(body, (zero, zero), (xs, ys))
         return out
 
     return total

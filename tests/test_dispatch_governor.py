@@ -169,6 +169,29 @@ def test_single_dispatch_reports_zero_compile_wall():
     assert total >= 1
 
 
+def test_wall_buckets_accounted():
+    # round-4 finding: first-in-process TPU runs logged walls dominated
+    # by time outside every recorded dispatch (tunnel/session overhead).
+    # The driver now splits the wall into three auditable buckets:
+    # dispatch (device work + compile), trace fetch (device->host
+    # materialization), and the untracked remainder — so that
+    # attribution is measured, not guessed.
+    res = _run(None, "adapter")
+    assert res.dispatch_wall_total > 0.0
+    assert res.trace_fetch_wall >= 0.0
+    # the buckets are disjoint sub-intervals of the run's wall
+    assert (res.dispatch_wall_total + res.trace_fetch_wall
+            <= res.wall_time + 0.05)
+    assert abs(res.untracked_wall
+               - (res.wall_time - res.dispatch_wall_total
+                  - res.trace_fetch_wall)) < 1e-9
+    # uturn mode fetches the U-turn trace too — the bucket must cover it
+    res_u = _run(None, "uturn")
+    assert res_u.trace_fetch_wall >= 0.0
+    assert (res_u.dispatch_wall_total + res_u.trace_fetch_wall
+            <= res_u.wall_time + 0.05)
+
+
 def test_governed_uturn_run_bit_identical():
     # uturn mode slices the per-epoch leapfrog vector across sub-dispatches
     # and feeds the U-turn schedule one merged trace per planned chunk, so
