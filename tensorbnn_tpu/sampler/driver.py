@@ -910,6 +910,8 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
     # run logged 906s against ~17s of dispatch walls — the excess was
     # exactly this untracked host/tunnel time)
     fetch_wall = 0.0
+    # one-shot f32 numerics advisory (see check below)
+    numerics_advised = compensated
     while iter_ < epochs:
         if (precond_at is not None and windows_fired < len(precond_epochs)
                 and iter_ >= precond_epochs[windows_fired]):
@@ -1162,6 +1164,33 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
                     print(msg)
 
         chunks_done += 1
+        # f32 drift-quantization advisory (once per run): when the tuned
+        # step size enters the regime where ``q + eps*v`` rounds away —
+        # eps within ~16 ulps of the parameter magnitude — plain-f32
+        # leapfrog drifts quantize (~30% per-step error a few ulps out)
+        # or freeze outright, the controller sees garbage acceptance, and
+        # the run silently stops sampling (measured on the 1M-point
+        # surrogate: PERF_NOTES round 4 "f32 drift quantization").
+        # The cheap eps pre-check keeps ordinary runs (eps >= 1e-4) free
+        # of the device fetch; the rms fetch itself is one scalar.
+        if not numerics_advised and float(np.min(step_sizes)) < 1e-4:
+            rms = float(jnp.sqrt(jnp.mean(jnp.square(carry.theta))))
+            ulp = float(jnp.finfo(dtype).eps) * rms
+            if float(np.min(step_sizes)) < 16.0 * ulp:
+                import warnings
+                warnings.warn(
+                    f"step size {float(np.min(step_sizes)):.3g} is within "
+                    f"16 ulps of the parameter magnitude (rms |theta| "
+                    f"{rms:.3g}, ulp {ulp:.3g}): plain f32 leapfrog drifts "
+                    "quantize or freeze in this regime and acceptance "
+                    "statistics become meaningless. Pass compensated=True "
+                    "(Kahan-compensated integrator); if acceptance stays "
+                    "low and *rises* as the step size shrinks, also set "
+                    "matmul_precision='highest' on the dense layers (MXU "
+                    "default-precision staircase — diagnose with "
+                    "`run_benchmarks.py potential_noise`).",
+                    RuntimeWarning, stacklevel=2)
+                numerics_advised = True
         if checkpoint_dir and checkpoint_every and \
                 chunks_done % checkpoint_every == 0:
             _save_checkpoint()

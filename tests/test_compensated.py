@@ -253,6 +253,48 @@ def test_compensated_mesh_matches_vmap():
                                rtol=5e-2, atol=5e-3)
 
 
+def _tiny_eps_net(seed):
+    from tensorbnn_tpu import GaussianDenseLayer, Tanh
+    from tensorbnn_tpu.network import Network
+
+    x = np.linspace(-1, 1, 16)
+    y = np.sin(x * math.pi)
+    net = Network(jnp.float32, 1, x, y, x, y, seed=seed)
+    net.add(GaussianDenseLayer(1, 5)).add(Tanh())
+    net.add(GaussianDenseLayer(5, 1))
+    # force the adapter grid into the quantization regime: eps ~ 1e-9
+    # against |theta| ~ 0.5 (16 ulps ~ 1e-6)
+    net.setup_mcmc(step_size_start=1e-9, step_size_min=1e-10,
+                   step_size_max=5e-9, step_size_options=4,
+                   leapfrog_start=4, leapfrog_min=2, leapfrog_max=8,
+                   leapfrog_increment=2, hyper_leapfrog=4, burnin=20,
+                   averaging_steps=5, random_steps=2, adapter_seed=0)
+    return net
+
+
+def test_numerics_advisory_fires_in_quantization_regime():
+    # the driver warns once when the tuned step size sits within ~16 ulps
+    # of the parameter magnitude and compensated is off — the silent
+    # failure mode the 1M-point surrogate hit (PERF_NOTES round 4)
+    import warnings as _w
+
+    import pytest
+    from tensorbnn_tpu import FixedGaussianLikelihood
+
+    net = _tiny_eps_net(11)
+    with pytest.warns(RuntimeWarning, match="quantize or freeze"):
+        net.train(30, 4, FixedGaussianLikelihood(sd=0.1),
+                  n_chains=4, verbose=False)
+
+    # compensated=True is the documented fix: no advisory
+    net2 = _tiny_eps_net(11)
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        net2.train(30, 4, FixedGaussianLikelihood(sd=0.1),
+                   n_chains=4, compensated=True, verbose=False)
+    assert not [w for w in rec if "quantize or freeze" in str(w.message)]
+
+
 def test_compensated_uturn_mode():
     # compensated composes with the U-turn trajectory mode (the surrogate
     # configuration that motivated the feature)
