@@ -1099,13 +1099,17 @@ def main():
     if which == "surrogate_quality_precond":
         # optional extra args: windows, clip_lo (the burn-in window/clip
         # ablation — see PERF_NOTES "windowed metric" table), matmul
-        # precision ("high"/"highest" — the MXU staircase fix)
+        # precision ("high"/"highest" — the MXU staircase fix), "kahan"
+        # (compensated integrator — keeps the adapter's SJD signal
+        # meaningful below the f32 drift-quantization floor)
         windows = int(sys.argv[2]) if len(sys.argv) > 2 else 1
         clip_lo = float(sys.argv[3]) if len(sys.argv) > 3 else 1e-2
         mprec = sys.argv[4] if len(sys.argv) > 4 else None
+        compd = len(sys.argv) > 5 and sys.argv[5] == "kahan"
         bench_surrogate_quality(precondition=True, windows=windows,
                                 clip=(clip_lo, 1e2),
-                                matmul_precision=mprec)
+                                matmul_precision=mprec,
+                                compensated=compd)
     if which == "surrogate_quality_uturn":
         precond = len(sys.argv) > 2 and sys.argv[2] == "precond"
         windows = int(sys.argv[3]) if len(sys.argv) > 3 else 1
