@@ -4,7 +4,17 @@ north-star quality block (ESS/sec at a calibrated acceptance).
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "...", "vs_baseline": N,
    "quality": {"ess_per_sec": ..., "total_ess": ..., "min_param_ess": ...,
-               "accept_post_burnin": ...}}
+               "accept_post_burnin": ...},
+   "quality_tempered": {... same fields + swap_accept_rung ...}}
+
+``quality_tempered`` runs the identical flagship config on the measured
+best replica-exchange ladder (K=4 @ beta_min=0.5, hot rungs on
+otherwise-idle lanes — benchmarks/captures/r4_ess_tempered512.json
+measured 1.73x cold-chain ESS/sec and 3.08x worst-coordinate ESS over
+plain at 512 chains), so the driver-captured artifact carries the
+framework's recommended sampler configuration next to the plain one.
+Budget-guarded (skipped with a marker if the earlier passes already
+burned the wall budget) and failure-contained like the plain block.
 
 The BASELINE north star is throughput *at equal ESS* with calibrated
 acceptance (BASELINE.md:21-24) — raw steps/sec at near-1.0 acceptance is
@@ -43,6 +53,7 @@ reference retraces whenever L changes), and no eager GP algebra.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -54,6 +65,7 @@ def log(*a):
 
 
 def main():
+    t_proc0 = time.perf_counter()
     import jax
     import jax.numpy as jnp
 
@@ -160,7 +172,6 @@ def main():
     # -- north-star quality block: adaptive driver at the measured best
     #    config (512 chains / 4 adapter groups — the round-3 G-sweep's
     #    winner, benchmarks/PERF_NOTES.md), ESS/sec + acceptance ----------
-    import os
     sys.path.insert(0, os.path.join(os.path.dirname(
         os.path.abspath(__file__)), "benchmarks"))
     from run_benchmarks import ess_run
@@ -179,6 +190,41 @@ def main():
         log(f"quality pass failed: {type(e).__name__}: {e}")
         q = {"error": f"{type(e).__name__}: {e}"}
 
+    # -- tempered quality block: the same flagship config on the measured
+    #    best replica-exchange ladder (K=4 @ beta_min=0.5 — every rung gap
+    #    exchanges at ~0.68/attempt; benchmarks/captures/
+    #    r4_ess_tempered512.json). Hot rungs ride otherwise-idle lanes, so
+    #    the cold-chain ESS/sec gain (~1.7x measured) is nearly free in
+    #    wall — this is the framework's headline sampler configuration.
+    #    Budget-guarded: skipped if the plain passes already consumed the
+    #    wall budget (axon compile variance) so a slow session still emits
+    #    the primary artifact.
+    q_t = None
+    elapsed = time.perf_counter() - t_proc0
+    if os.environ.get("BENCH_SKIP_TEMPERED"):
+        log("tempered quality pass skipped (BENCH_SKIP_TEMPERED)")
+    elif elapsed > 480.0:
+        log(f"tempered quality pass skipped: {elapsed:.0f}s elapsed "
+            f"already (axon compile variance) — primary artifact first")
+        q_t = {"skipped": f"wall budget ({elapsed:.0f}s elapsed)"}
+    else:
+        try:
+            # n_adapters=1: under tempering the rungs ARE the adapter
+            # groups (one GP-UCB adapter per temperature; the driver
+            # rejects an explicit n_adapters > 1)
+            q_t = ess_run(n_chains=512, n_adapters=1, tempering=4,
+                          tempering_beta_min=0.5)
+            log(f"quality (tempered K=4 @ 0.5): {q_t['total_ess']} "
+                f"cold-chain effective samples ({q_t['ess_per_sec']}/sec "
+                f"cold, {q_t['ess_per_sec_warm_est']}/sec warm-adjusted) "
+                f"in {q_t['wall_seconds']}s, accept "
+                f"{q_t['accept_post_burnin']}, swap/rung "
+                f"{q_t['swap_accept_rung']}, min-param ESS "
+                f"{q_t['min_param_ess']}")
+        except Exception as e:  # noqa: BLE001 — same containment as above
+            log(f"tempered quality pass failed: {type(e).__name__}: {e}")
+            q_t = {"error": f"{type(e).__name__}: {e}"}
+
     print(json.dumps({
         "metric": "main-chain leapfrog steps/sec/chip (3x10-tanh MLP, "
                   "two-block sampler, 64 vmapped chains vs single-chain "
@@ -187,6 +233,7 @@ def main():
         "unit": "leapfrog steps/sec",
         "vs_baseline": round(ours_rate / base_rate, 2),
         "quality": q,
+        "quality_tempered": q_t,
     }))
 
 

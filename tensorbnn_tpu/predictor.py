@@ -297,8 +297,18 @@ class Predictor:
                 names = [line.strip() for line in f if line.strip()]
             new_layers = [self.registry[name]() for name in names]
 
+        new_layers = list(new_layers)
+        if not all(isinstance(lyr, LayerSpec) for lyr in new_layers):
+            # catch the easy misuse (passing an input matrix where the
+            # swapped-prior architecture goes) at the boundary instead of
+            # an AttributeError deep inside Sequential
+            raise TypeError(
+                "reweight() takes the swapped-prior architecture as its "
+                "first argument: a sequence of LayerSpec (or a path to an "
+                f"architecture file), got {type(new_layers[0]).__name__} "
+                "elements")
         new_log_weights = self._log_posterior_weights(
-            list(new_layers), train_x, train_y, n, likelihood)
+            new_layers, train_x, train_y, n, likelihood)
         weighting = np.exp(self._train_log_weights - new_log_weights)
         return weighting / np.sum(weighting)
 

@@ -160,6 +160,13 @@ def test_predictor_reweight(small_run):
                            likelihood=FixedGaussianLikelihood(sd=0.1))
     assert w_new.sum() == pytest.approx(1.0, rel=1e-5)
 
+    # passing an input matrix where the architecture goes is caught at
+    # the boundary with a clear TypeError, not an AttributeError deep
+    # inside Sequential
+    with pytest.raises(TypeError, match="swapped-prior architecture"):
+        pred.reweight(train_in[:, None], train_in[:, None],
+                      trig(train_in))
+
 
 def test_learned_noise_likelihood_runs():
     """GaussianLikelihood couples its sd hyper into the hyper chain
