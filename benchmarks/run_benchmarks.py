@@ -382,7 +382,8 @@ def bench_surrogate_quality(n_chains: int = 32, precondition: bool = False,
                             uturn: bool = False,
                             uturn_probe: str = "always",
                             compensated: bool = False,
-                            matmul_precision=None):
+                            matmul_precision=None,
+                            eps_max_override=None):
     """The surrogate config as a *posterior*, not just a throughput number
     (round-1 PERF_NOTES gap 4): run the full adaptive driver with a step
     grid at the ~1e-7 scale this 1M-point target needs, assert acceptance
@@ -464,6 +465,15 @@ def bench_surrogate_quality(n_chains: int = 32, precondition: bool = False,
     # epoch 60, right after the random phase, so the capped grid is
     # explored preconditioned)
     eps_max = 2e-5 if precondition else 1e-6
+    if eps_max_override is not None:
+        # the 2e-5 ceiling was calibrated on the staircase-corrupted
+        # kernels, where larger steps bought rare-huge-jump SJD at
+        # acceptance ~0.05; under exact numerics (kahan + "highest")
+        # both round-4 grid captures tuned INTO this ceiling at
+        # acceptance 0.95+, i.e. the grid top — not the posterior — had
+        # become the binding constraint. The override lets the adapter
+        # explore past it.
+        eps_max = eps_max_override
     if uturn:
         # the RM controller explores the step range continuously toward
         # 0.8 acceptance (no grid) and the U-turn criterion picks the
@@ -1106,10 +1116,12 @@ def main():
         clip_lo = float(sys.argv[3]) if len(sys.argv) > 3 else 1e-2
         mprec = sys.argv[4] if len(sys.argv) > 4 else None
         compd = len(sys.argv) > 5 and sys.argv[5] == "kahan"
+        eps_max_arg = float(sys.argv[6]) if len(sys.argv) > 6 else None
         bench_surrogate_quality(precondition=True, windows=windows,
                                 clip=(clip_lo, 1e2),
                                 matmul_precision=mprec,
-                                compensated=compd)
+                                compensated=compd,
+                                eps_max_override=eps_max_arg)
     if which == "surrogate_quality_uturn":
         precond = len(sys.argv) > 2 and sys.argv[2] == "precond"
         windows = int(sys.argv[3]) if len(sys.argv) > 3 else 1
