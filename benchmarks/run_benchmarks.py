@@ -20,7 +20,7 @@ headline (trainRegression config); this suite covers the scale-out configs:
 
 Usage: python benchmarks/run_benchmarks.py
        [wide_deep|wide_deep_bf16|surrogate|surrogate_quality|
-        classification|ess|all]
+        surrogate_eps_ladder|classification|ess|all]
 """
 
 import json
@@ -377,6 +377,60 @@ def bench_surrogate():
     })
 
 
+def _surrogate_net(matmul_precision=None, n_points: int = 1_000_000,
+                   pretrain_epochs: int = 4):
+    """Builds the 1M-point surrogate posterior shared by the quality and
+    eps-ladder benches: synthetic detector-response data (BASELINE.json
+    config 5), MAP warm start via big-batch pretrain, 3-layer width-64
+    tanh network. Returns ``(net, x, y)`` with ``x``/``y`` as host numpy.
+
+    ``matmul_precision="highest"`` removes the MXU default-precision
+    staircase: TPU's default f32 matmul rounds operands to bf16, so at
+    this posterior's eps (~1e-8 against bf16-ulp(|theta|) ~ 4e-4) the
+    evaluated density is locally piecewise-constant in theta with
+    O(nats) jumps at weight rounding boundaries — a ΔH pseudo-noise
+    floor the MH test pays regardless of integrator accuracy
+    (diagnosed by ``potential_noise``; PERF_NOTES round 4).
+
+    ``n_points``/``pretrain_epochs`` exist so tests can smoke the wiring
+    at toy scale; benchmarks use the defaults.
+    """
+    import jax.numpy as jnp
+
+    from tensorbnn_tpu import GaussianDenseLayer, Tanh
+    from tensorbnn_tpu.network import Network
+
+    d_in, width = 8, 64
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(n_points, d_in)).astype(np.float32)
+    y = (np.sin(x.sum(axis=1)) + 0.1 * rng.normal(
+        size=n_points)).astype(np.float32)
+
+    # MAP warm start (big-batch pretrain on TPU) so burn-in starts near the
+    # mode and the adapter's step search is about curvature, not transit
+    from tensorbnn_tpu.training.pretrain import dense_warm_start, \
+        train_basic_regression
+    log("surrogate: data built, pretraining (silent, remote "
+        "compiles + ~500 tunnel dispatches — takes minutes)...")
+    w, b, _ = train_basic_regression(
+        2, d_in, 1, width, cycles=1, epochs=pretrain_epochs, alpha=0.1,
+        train_in=x, train_out=y, val_in=x[:4096], val_out=y[:4096],
+        batch_size=min(8192, n_points), callbacks=False,
+        hidden_activation="tanh")
+
+    net = Network(jnp.float32, d_in, x, y, x[:256], y[:256], seed=3)
+    net.add(GaussianDenseLayer(d_in, width,
+                               matmul_precision=matmul_precision),
+            parameters=dense_warm_start(w, b, 0)).add(Tanh())
+    net.add(GaussianDenseLayer(width, width,
+                               matmul_precision=matmul_precision),
+            parameters=dense_warm_start(w, b, 1)).add(Tanh())
+    net.add(GaussianDenseLayer(width, 1,
+                               matmul_precision=matmul_precision),
+            parameters=dense_warm_start(w, b, 2))
+    return net, x, y
+
+
 def bench_surrogate_quality(n_chains: int = 32, precondition: bool = False,
                             windows: int = 1, clip=(1e-2, 1e2),
                             uturn: bool = False,
@@ -416,44 +470,10 @@ def bench_surrogate_quality(n_chains: int = 32, precondition: bool = False,
     import jax
     import jax.numpy as jnp
 
-    from tensorbnn_tpu import GaussianDenseLayer, GaussianLikelihood, Tanh
-    from tensorbnn_tpu.network import Network
+    from tensorbnn_tpu import GaussianLikelihood
     from tensorbnn_tpu.sampler.potential import flatten_state
 
-    n_points, d_in, width = 1_000_000, 8, 64
-    rng = np.random.default_rng(1)
-    x = rng.normal(size=(n_points, d_in)).astype(np.float32)
-    y = (np.sin(x.sum(axis=1)) + 0.1 * rng.normal(
-        size=n_points)).astype(np.float32)
-
-    # MAP warm start (big-batch pretrain on TPU) so burn-in starts near the
-    # mode and the adapter's step search is about curvature, not transit
-    from tensorbnn_tpu.training.pretrain import dense_warm_start, \
-        train_basic_regression
-    log("surrogate_quality: data built, pretraining (silent, remote "
-        "compiles + ~500 tunnel dispatches — takes minutes)...")
-    w, b, _ = train_basic_regression(
-        2, d_in, 1, width, cycles=1, epochs=4, alpha=0.1,
-        train_in=x, train_out=y, val_in=x[:4096], val_out=y[:4096],
-        batch_size=8192, callbacks=False, hidden_activation="tanh")
-
-    net = Network(jnp.float32, d_in, x, y, x[:256], y[:256], seed=3)
-    # matmul_precision="highest" removes the MXU default-precision
-    # staircase: TPU's default f32 matmul rounds operands to bf16, so at
-    # this posterior's eps (~1e-8 against bf16-ulp(|theta|) ~ 4e-4) the
-    # evaluated density is locally piecewise-constant in theta with
-    # O(nats) jumps at weight rounding boundaries — a ΔH pseudo-noise
-    # floor the MH test pays regardless of integrator accuracy
-    # (diagnosed by `potential_noise`; PERF_NOTES round 4)
-    net.add(GaussianDenseLayer(d_in, width,
-                               matmul_precision=matmul_precision),
-            parameters=dense_warm_start(w, b, 0)).add(Tanh())
-    net.add(GaussianDenseLayer(width, width,
-                               matmul_precision=matmul_precision),
-            parameters=dense_warm_start(w, b, 1)).add(Tanh())
-    net.add(GaussianDenseLayer(width, 1,
-                               matmul_precision=matmul_precision),
-            parameters=dense_warm_start(w, b, 2))
+    net, x, y = _surrogate_net(matmul_precision)
     burnin = 200
     # step grid capped at 1e-6: the GP adapter maximizes SJD, whose
     # optimum on this target sits at eps ~ 2e-6 with acceptance ~ 0.05
@@ -566,6 +586,134 @@ def bench_surrogate_quality(n_chains: int = 32, precondition: bool = False,
         "untracked_wall_seconds": round(res.untracked_wall, 2),
         "potential": "xla-tree",
     })
+
+
+def bench_surrogate_eps_ladder(eps_list=(2e-5, 3.2e-5, 5e-5, 8e-5, 1.25e-4),
+                               n_chains: int = 32, leapfrog: int = 15,
+                               matmul_precision="highest",
+                               compensated: bool = True,
+                               n_points: int = 1_000_000,
+                               data_chunk: int = 125_000,
+                               pretrain_epochs: int = 4,
+                               settle_chunks: int = 8,
+                               epochs_per_chunk: int = 8):
+    """Fixed-(eps, L) acceptance ladder on the 1M-point surrogate — brackets
+    the exact-numerics stability boundary the adaptive grid's ceiling sits
+    against.
+
+    Both round-4 exact-numerics grid captures (kahan + exact-f32 matmuls)
+    tuned INTO the 2e-5 grid ceiling at acceptance 0.95+, so the ceiling —
+    calibrated on the staircase-corrupted kernels — had become the binding
+    constraint. Campaign r4h raised it 8x to 1.6e-4 and the adapter's
+    random phase opened at the grid top: main acceptance 0.0 through 100+
+    epochs (benchmarks/captures/r4_surr_grid_kahan_hp_wide.log; the run
+    died at round end without an artifact). The open question is where
+    between 2e-5 (accept ~0.95) and ~1.3e-4 (accept 0.0) the boundary
+    sits. A full adaptive run per candidate ceiling costs ~21 min; this
+    probe answers it in one run: (eps, L) are *traced* scalars
+    (architecture invariant), so a single compiled chunk program serves
+    the entire ladder — each rung is two governed dispatches.
+
+    Procedure: MAP warm start (shared ``_surrogate_net`` pretrain), a
+    settle phase at the adaptive run's eps floor so per-chain momentum
+    draws decorrelate the fleet, then the driver's own diag-metric recipe
+    (cross-chain std, median-normalized, clipped to [1e-2, 1e2] —
+    sampler/driver.py) — then, ascending so a zero-acceptance rung leaves
+    the state untouched for the next, two measurement chunks per eps at
+    fixed L recording per-chunk mean acceptance and SJD.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from tensorbnn_tpu import GaussianLikelihood
+    from tensorbnn_tpu.parallel.chains import (
+        init_multichain_state,
+        make_multichain_chunk_runner,
+    )
+    from tensorbnn_tpu.sampler.potential import flatten_state
+
+    net, x, y = _surrogate_net(matmul_precision, n_points=n_points,
+                               pretrain_epochs=pretrain_epochs)
+    likelihood = GaussianLikelihood(sd=0.1)
+    params, hypers = net.init_state()
+    flat = flatten_state(params, hypers, likelihood.init_hypers())
+    xd, yd = jnp.asarray(x), jnp.asarray(y)
+
+    t0 = time.perf_counter()
+    run = make_multichain_chunk_runner(
+        net.model, likelihood, xd, yd, flat.unravel_theta,
+        flat.unravel_eta, adjust_hypers=True, hyper_leapfrog=5,
+        # the whole probe stays in "burn-in" mode for the hyper block's
+        # dual averaging (matching the adaptive run's early phase)
+        burnin=10_000.0, hyper_step_size_init=1e-6, mesh=None,
+        donate=False, data_chunk=data_chunk, traced_step_scale=True,
+        compensated=compensated)
+    # MAP start, no positional jitter (the mode is sharp at 1M points —
+    # same rationale as surrogate_quality); momenta decorrelate the fleet
+    carry = init_multichain_state(flat.theta, flat.eta, jax.random.key(7),
+                                  1e-6, n_chains, jitter=0.0)
+    ones = jnp.ones((flat.theta.size,), jnp.float32)
+
+    def chunk(carry, eps, leap, scale):
+        carry, tr = run(carry, xd, yd, jnp.asarray(eps, jnp.float32),
+                        jnp.asarray(int(leap), jnp.int32), scale,
+                        epochs_per_chunk)
+        return carry, (float(np.asarray(tr.main_accept).mean()),
+                       float(np.asarray(tr.sjd).mean()))
+
+    # settle at the adaptive run's start point (5e-7, L=10): acceptance
+    # ~1, the fleet spreads enough for the cross-chain metric estimate
+    for i in range(settle_chunks):
+        carry, (acc, _) = chunk(carry, 5e-7, 10, ones)
+        if i in (0, settle_chunks - 1):
+            log(f"eps_ladder settle {i + 1}/{settle_chunks}: "
+                f"accept {acc:.3f} ({time.perf_counter() - t0:.0f}s)")
+
+    # the driver's diag-metric recipe (sampler/driver.py), device-side std
+    sd = np.asarray(jnp.std(carry.theta, axis=0), np.float64)
+    pos = sd[sd > 0]
+    med = float(np.median(pos)) if pos.size else 1.0
+    scale = np.where(sd > 0, sd / max(med, 1e-12), 1.0)
+    step_scale = jnp.asarray(np.clip(scale, 1e-2, 1e2).astype(np.float32))
+    log(f"eps_ladder: metric estimated, scale range "
+        f"[{float(step_scale.min()):.3g}, {float(step_scale.max()):.3g}]")
+    # two preconditioned settle chunks at a known-good step so the ladder
+    # starts from a preconditioned-typical state
+    for _ in range(2):
+        carry, (acc, _) = chunk(carry, 1e-5, leapfrog, step_scale)
+    log(f"eps_ladder: preconditioned settle accept {acc:.3f}")
+
+    rows = []
+    for eps in eps_list:
+        accs, sjds = [], []
+        for _ in range(2):
+            carry, (acc, sjd) = chunk(carry, eps, leapfrog, step_scale)
+            accs.append(round(acc, 4))
+            sjds.append(sjd)
+        rows.append({"eps": eps, "leapfrog": leapfrog,
+                     "accept": round(float(np.mean(accs)), 4),
+                     "accept_chunks": accs, "sjd_mean": float(np.mean(sjds))})
+        log(f"eps_ladder: eps {eps:.2e} -> accept {rows[-1]['accept']:.3f} "
+            f"(chunks {accs}, sjd {rows[-1]['sjd_mean']:.3e}, "
+            f"{time.perf_counter() - t0:.0f}s)")
+        emit({"partial": True, "ladder": rows}, final=False)
+
+    dt = time.perf_counter() - t0
+    emit({
+        "metric": f"surrogate fixed-eps acceptance ladder ({n_points}-point "
+                  "likelihood, diag-metric preconditioned, "
+                  f"{n_chains} chains, L={leapfrog}, single chip)",
+        "value": rows[-1]["accept"],
+        "unit": "mean acceptance at the top rung",
+        "ladder": rows,
+        "n_chains": n_chains,
+        "epochs_per_chunk": epochs_per_chunk,
+        "scale_range": [float(step_scale.min()), float(step_scale.max())],
+        "compensated": compensated,
+        "matmul_precision": matmul_precision,
+        "wall_seconds": round(dt, 1),
+    })
+    return rows
 
 
 def bench_potential_noise():
@@ -1132,6 +1280,16 @@ def main():
                                 windows=windows, uturn_probe=probe,
                                 compensated=compd,
                                 matmul_precision=mprec)
+    if which == "surrogate_eps_ladder":
+        # fixed-(eps, L) acceptance ladder under the full numerics fix:
+        # brackets the exact-numerics stability boundary the grid ceiling
+        # sits against (campaign r4h's 8x ceiling raise overshot it).
+        # optional args: comma-separated eps list, leapfrog
+        eps_arg = (tuple(float(s) for s in sys.argv[2].split(","))
+                   if len(sys.argv) > 2
+                   else (2e-5, 3.2e-5, 5e-5, 8e-5, 1.25e-4))
+        leap_arg = int(sys.argv[3]) if len(sys.argv) > 3 else 15
+        bench_surrogate_eps_ladder(eps_list=eps_arg, leapfrog=leap_arg)
     if which == "potential_noise":
         # ΔH noise-floor diagnostic: the MXU default-precision staircase
         # vs exact-f32 matmuls on the 1M-point target (PERF_NOTES round 4)
