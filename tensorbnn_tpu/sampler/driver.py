@@ -47,7 +47,8 @@ from tensorbnn_tpu.parallel.chains import (
 from tensorbnn_tpu.parallel.mesh import DATA_AXIS, chain_sharding, \
     data_sharding
 from tensorbnn_tpu.sampler.adapter import ParamAdapter
-from tensorbnn_tpu.sampler.potential import flatten_state, host_unraveler
+from tensorbnn_tpu.sampler.potential import flatten_state, \
+    host_batch_unraveler, host_unraveler
 
 
 @dataclasses.dataclass
@@ -850,15 +851,16 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
 
     def _save_checkpoint():
         nonlocal n_segments, samples_checkpointed
-        arrays = {
-            "theta": np.asarray(carry.theta),
-            "eta": np.asarray(carry.eta),
-            "key": np.asarray(jax.random.key_data(carry.key)),
-            "hyper_step": np.asarray(carry.hyper_step),
-            "log_eps_bar": np.asarray(carry.log_eps_bar),
-            "h": np.asarray(carry.h),
-            "epoch": np.asarray(carry.epoch),
-        }
+        # one batched device_get (single tunnel round-trip) per checkpoint
+        arrays = jax.device_get({
+            "theta": carry.theta,
+            "eta": carry.eta,
+            "key": jax.random.key_data(carry.key),
+            "hyper_step": carry.hyper_step,
+            "log_eps_bar": carry.log_eps_bar,
+            "h": carry.h,
+            "epoch": carry.epoch,
+        })
         # only samples accumulated since the last checkpoint go to disk
         # (segment is written before resume.json references it, so a
         # crash in between leaves an ignored trailing file, not a
@@ -1045,8 +1047,46 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
                  jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0),
                               *sub_traces))
 
+        # rows the host needs (sampling + display epochs) — host-known
+        # before any fetch, so the device-side slice joins the single
+        # batched materialization below; the full (chunk, C, D) trace
+        # stays on device
+        need_rows = set()
+        for j in range(chunk):
+            e = iter_ + j + 1
+            if e > config.burnin and e % sampling_step == 0:
+                need_rows.add(j)
+            if display_skip and e % display_skip == 0 and verbose:
+                need_rows.add(j)
+
+        # ONE batched device->host materialization per chunk: every
+        # host-needed output (diagnostics + sampled rows) crosses the
+        # tunnel in a single jax.device_get, which starts async copies on
+        # every leaf before awaiting any. The previous per-array
+        # np.asarray pattern paid a fresh ~30-60ms round-trip each (4-7
+        # per chunk; round 4 measured 41.3s of the flagship quality
+        # block's 97.1s wall in this bucket — benchmarks/captures/
+        # r4_bench_tempered.json, VERDICT round-4 #1).
         t_fetch = time.perf_counter()
-        sjd = np.asarray(trace.sjd)            # (chunk, C)
+        fetch_dev = {"sjd": trace.sjd,              # (chunk, C)
+                     "m_acc": trace.main_accept,    # (chunk, C)
+                     "h_acc": trace.hyper_accept}
+        if tempering > 1 and trace.swap_accept is not None:
+            fetch_dev["swap"] = trace.swap_accept   # (chunk, K*C)
+        if traj_uturn:
+            fetch_dev["uturn"] = trace.uturn
+        if need_rows:
+            # cold chains only (device-side slice: hot tempering replicas
+            # never cross the tunnel)
+            idx = jnp.asarray(sorted(need_rows))
+            fetch_dev["th_rows"] = trace.theta[idx, :n_chains]
+            fetch_dev["et_rows"] = trace.eta[idx, :n_chains]
+        fetched = jax.device_get(fetch_dev)
+        fetch_wall += time.perf_counter() - t_fetch
+
+        sjd = fetched["sjd"]
+        m_acc = fetched["m_acc"]
+        h_acc = fetched["h_acc"]
         if tracer is not None:
             # executed kicks per chain: in grouped mode each chain runs its
             # group's L (mask-frozen while the straggler group finishes), so
@@ -1058,9 +1098,6 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
             else:
                 tracer.end_chunk(chunk, float(leapfrogs.mean()), n_chains,
                                  float(leapfrogs.max()))
-        m_acc = np.asarray(trace.main_accept)  # (chunk, C)
-        h_acc = np.asarray(trace.hyper_accept)
-        fetch_wall += time.perf_counter() - t_fetch
         # per-group mean SJD feeds each group's adapter (full fleet; under
         # tempering the groups ARE the rungs)
         sjd_grp = sjd.reshape(chunk, n_grp, grp_chains).mean(axis=2)
@@ -1071,10 +1108,8 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
         sjds.append(sjd_mean)
         main_accepts.append(m_acc[:, :n_chains].mean(axis=1))
         hyper_accepts.append(h_acc[:, :n_chains].mean(axis=1))
-        if tempering > 1 and trace.swap_accept is not None:
-            t_fetch = time.perf_counter()
-            swapped = np.asarray(trace.swap_accept)      # (chunk, K*C)
-            fetch_wall += time.perf_counter() - t_fetch
+        if "swap" in fetched:
+            swapped = fetched["swap"]                    # (chunk, K*C)
             swap_accepts.append(swapped.mean(axis=1))
             # rung-major fleet: per-rung rate attributes which ladder
             # gaps actually exchange (VERDICT r3 #2 attribution)
@@ -1084,33 +1119,14 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
         if traj_uturn:
             # replay the chunk through the U-turn schedule (DA step-size
             # updates + U-turn length reservoir, burn-in epochs only)
-            t_fetch = time.perf_counter()
-            uturns_host = np.asarray(trace.uturn)
-            fetch_wall += time.perf_counter() - t_fetch
             uturn_ad.observe(iter_, m_acc.mean(axis=1),
-                             uturns_host, leap_vec)
+                             fetched["uturn"], leap_vec)
             step_sizes[0] = float(uturn_ad.eps)
             leapfrogs[0] = int(uturn_ad.l_hat)
 
-        # pull only the rows the host needs (sampling + display epochs) —
-        # the full (chunk, C, D) trace stays on device
-        need_rows = set()
-        for j in range(chunk):
-            e = iter_ + j + 1
-            if e > config.burnin and e % sampling_step == 0:
-                need_rows.add(j)
-            if display_skip and e % display_skip == 0 and verbose:
-                need_rows.add(j)
         rows = {}
         if need_rows:
-            idx = jnp.asarray(sorted(need_rows))
-            # cold chains only (device-side slice: hot tempering replicas
-            # never cross the tunnel)
-            t_fetch = time.perf_counter()
-            th_rows = np.asarray(trace.theta[idx, :n_chains])
-            et_rows = np.asarray(trace.eta[idx, :n_chains])
-            fetch_wall += time.perf_counter() - t_fetch
-            rows = {j: (th_rows[k], et_rows[k])
+            rows = {j: (fetched["th_rows"][k], fetched["et_rows"][k])
                     for k, j in enumerate(sorted(need_rows))}
 
         for j in range(chunk):
@@ -1203,16 +1219,16 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
         theta_stack = np.stack(theta_samples)  # (S, C, D)
         eta_stack = np.stack(eta_samples)
         s, c, d = theta_stack.shape
-        pooled_theta = jnp.asarray(
-            np.transpose(theta_stack, (1, 0, 2)).reshape(s * c, d))
-        pooled_eta = jnp.asarray(
-            np.transpose(eta_stack, (1, 0, 2)).reshape(s * c, -1))
-        param_samples = jax.tree.map(
-            np.asarray, jax.vmap(flat.unravel_theta)(pooled_theta))
-        hyper_samples, lik_hyper_samples = jax.vmap(flat.unravel_eta)(
-            pooled_eta)
-        hyper_samples = jax.tree.map(np.asarray, hyper_samples)
-        lik_hyper_samples = jax.tree.map(np.asarray, lik_hyper_samples)
+        pooled_theta = np.transpose(theta_stack, (1, 0, 2)).reshape(s * c, d)
+        pooled_eta = np.transpose(eta_stack, (1, 0, 2)).reshape(s * c, -1)
+        # pure-numpy batched unravel: the samples are already host arrays,
+        # and routing them through jax.vmap(unravel) costs two fresh
+        # remote XLA compiles plus a full posterior-stack round-trip over
+        # the ~200MB/s tunnel — for a reshape (VERDICT round-4 #1's
+        # untracked-wall bucket)
+        param_samples = host_batch_unraveler(params)(pooled_theta)
+        hyper_samples, lik_hyper_samples = host_batch_unraveler(
+            (hypers, lik_hypers))(pooled_eta)
     else:
         theta_stack = np.zeros((0, n_chains, flat.theta.shape[-1]))
         eta_stack = np.zeros((0, n_chains, flat.eta.shape[-1]))

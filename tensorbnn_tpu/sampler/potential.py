@@ -72,6 +72,36 @@ def host_unraveler(example_pytree) -> Callable:
     return unravel
 
 
+def host_batch_unraveler(example_pytree) -> Callable:
+    """Vectorized pure-numpy unravel: ``(N, D)`` matrix of flat rows ->
+    the example pytree with an ``(N,) + leaf.shape`` array per leaf.
+
+    The driver's end-of-run sample stacking previously routed the pooled
+    ``(S*C, D)`` posterior through ``jax.vmap(unravel_theta)`` — through
+    the axon tunnel that is two fresh remote XLA compiles (5-460s class,
+    uncacheable across processes) plus a full device round-trip of the
+    posterior stack, all for a pure reshaping. Same leaf-order caveat as
+    :func:`host_unraveler` (``tree_flatten`` order, single shared dtype).
+    """
+    import numpy as np
+
+    leaves, treedef = jax.tree.flatten(example_pytree)
+    shapes = [np.shape(leaf) for leaf in leaves]
+    sizes = [int(np.size(leaf)) for leaf in leaves]
+    offsets = np.concatenate([[0], np.cumsum(sizes)])
+
+    def unravel(mat):
+        mat = np.asarray(mat)
+        n = mat.shape[0]
+        return jax.tree.unflatten(treedef, [
+            np.ascontiguousarray(
+                mat[:, offsets[i]:offsets[i + 1]]).reshape(
+                (n,) + shapes[i])
+            for i in range(len(shapes))])
+
+    return unravel
+
+
 class Potentials(NamedTuple):
     #: log_post_main(theta, eta) -> scalar: prior + likelihood (main block)
     main: Callable
