@@ -7,6 +7,14 @@ Prints ONE JSON line:
                "accept_post_burnin": ...},
    "quality_tempered": {... same fields + swap_accept_rung ...}}
 
+The stdout line is kept COMPACT (per-dispatch wall pairs summarized to
+count/total/median-per-size; tests/test_bench_smoke.py bounds the line
+length) because the round driver captures only a tail of stdout — round
+4's raw-pairs line hit 6,090 chars and the driver artifact recorded
+parsed:null (PERF_NOTES "BENCH-line postmortem"). The full result with
+raw pairs is written to benchmarks/captures/bench_last_full.json
+(override with BENCH_FULL_OUT).
+
 ``quality_tempered`` runs the identical flagship config on the measured
 best replica-exchange ladder (K=4 @ beta_min=0.5, hot rungs on
 otherwise-idle lanes — benchmarks/captures/r4_ess_tempered512.json
@@ -59,9 +67,93 @@ import time
 
 import numpy as np
 
+# full (uncompacted) result object lands here so the raw per-dispatch
+# (work, wall) pairs stay auditable without riding the stdout line (the
+# driver captures only a ~2000-char tail of stdout: round 4's line grew
+# to 6,090 chars with the embedded pairs and BENCH_r04.json recorded
+# parsed:null — benchmarks/PERF_NOTES.md "BENCH-line postmortem")
+FULL_OUT_DEFAULT = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)),
+    "benchmarks", "captures", "bench_last_full.json")
+
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
+
+
+def _summarize_walls(pairs, with_sizes=True):
+    """Compact a list of per-dispatch ``[work, wall]`` pairs to
+    ``{"n", "wall_total", "by_work": [[work, n, wall_median], ...]}`` —
+    count, total, and a per-size median, which is everything the
+    compile-wall attribution audit needs inline; the raw pairs go to the
+    full-artifact file instead of the stdout line."""
+    if not pairs:
+        return {"n": 0, "wall_total": 0.0}
+    total = {"n": len(pairs),
+             "wall_total": round(sum(w for _, w in pairs), 2)}
+    if not with_sizes:
+        return total
+    by = {}
+    for k, w in pairs:
+        by.setdefault(k, []).append(w)
+    # bound the inline table: adaptive runs can visit many distinct work
+    # sizes — keep the 3 most frequent, fold the tail into one row, so
+    # the stdout line stays under budget no matter the trajectory
+    rows = sorted(by.items(), key=lambda kv: (-len(kv[1]), kv[0]))
+    head, tail = rows[:3], rows[3:]
+    out = [[k, len(ws), round(float(np.median(ws)), 3)]
+           for k, ws in sorted(head)]
+    if tail:
+        tail_ws = [w for _, ws in tail for w in ws]
+        out.append(["other", len(tail_ws),
+                    round(float(np.median(tail_ws)), 3)])
+    return total | {"by_work": out}
+
+
+# what the stdout line carries per quality block: the headline numbers,
+# the three wall buckets, and the compile-attribution summaries — the
+# rest (final tuning state, per-key config echo, raw pairs) lives in the
+# full-artifact file only
+_LINE_KEYS = (
+    "n_chains", "tempering", "ess_per_sec", "ess_per_sec_warm_est",
+    "compile_wall_seconds", "dispatch_wall_seconds",
+    "trace_fetch_wall_seconds", "untracked_wall_seconds", "total_ess",
+    "min_param_ess", "accept_post_burnin", "swap_accept_rung",
+    "straggler_efficiency", "wall_seconds", "error", "skipped",
+)
+
+
+def _compact_quality(q):
+    """Summarize the bulky per-dispatch pair lists and keep only the
+    headline keys so the one-line stdout artifact stays under the
+    driver's tail-capture budget (~1,500 chars for the whole line)."""
+    if not isinstance(q, dict):
+        return q
+    out = {k: q[k] for k in _LINE_KEYS if q.get(k) is not None}
+    if "dispatch_first_walls" in q:
+        # first-of-shape walls are compile-dominated; count + total is
+        # the auditable figure (per-size medians are meaningless at one
+        # observation per size)
+        out["dispatch_first_summary"] = _summarize_walls(
+            q["dispatch_first_walls"], with_sizes=False)
+    if "dispatch_warm_walls" in q:
+        out["dispatch_warm_summary"] = _summarize_walls(
+            q["dispatch_warm_walls"])
+    return out
+
+
+def emit_line(ours_rate, base_rate, q, q_t) -> str:
+    """The ONE stdout JSON line (compact quality blocks)."""
+    return json.dumps({
+        "metric": "main-chain leapfrog steps/sec/chip (3x10-tanh MLP, "
+                  "two-block sampler, 64 chains vs per-epoch-dispatch "
+                  "reference emulation)",
+        "value": round(ours_rate, 1),
+        "unit": "leapfrog steps/sec",
+        "vs_baseline": round(ours_rate / base_rate, 2),
+        "quality": _compact_quality(q),
+        "quality_tempered": _compact_quality(q_t),
+    })
 
 
 def main():
@@ -225,16 +317,19 @@ def main():
             log(f"tempered quality pass failed: {type(e).__name__}: {e}")
             q_t = {"error": f"{type(e).__name__}: {e}"}
 
-    print(json.dumps({
-        "metric": "main-chain leapfrog steps/sec/chip (3x10-tanh MLP, "
-                  "two-block sampler, 64 vmapped chains vs single-chain "
-                  "per-epoch-dispatch reference emulation)",
-        "value": round(ours_rate, 1),
-        "unit": "leapfrog steps/sec",
-        "vs_baseline": round(ours_rate / base_rate, 2),
-        "quality": q,
-        "quality_tempered": q_t,
-    }))
+    # full result (raw per-dispatch pairs included) to the artifact file;
+    # compact summary to stdout
+    full_out = os.environ.get("BENCH_FULL_OUT", FULL_OUT_DEFAULT)
+    try:
+        os.makedirs(os.path.dirname(full_out), exist_ok=True)
+        with open(full_out, "w") as f:
+            json.dump({"value": round(ours_rate, 1),
+                       "vs_baseline": round(ours_rate / base_rate, 2),
+                       "quality": q, "quality_tempered": q_t}, f, indent=1)
+        log(f"full artifact -> {full_out}")
+    except OSError as e:
+        log(f"full-artifact write failed (non-fatal): {e}")
+    print(emit_line(ours_rate, base_rate, q, q_t))
 
 
 if __name__ == "__main__":

@@ -632,6 +632,15 @@ def bench_surrogate_eps_ladder(eps_list=(2e-5, 3.2e-5, 5e-5, 8e-5, 1.25e-4),
     )
     from tensorbnn_tpu.sampler.potential import flatten_state
 
+    # validate before the expensive pretrain/settle phases: the ladder
+    # must be non-empty and ascending (a zero-acceptance rung leaves the
+    # state untouched for the next only if rungs ascend)
+    eps_list = tuple(float(e) for e in eps_list)
+    if not eps_list:
+        raise ValueError("eps_list must be non-empty")
+    if any(b <= a for a, b in zip(eps_list, eps_list[1:])):
+        raise ValueError(f"eps_list must be strictly ascending: {eps_list}")
+
     net, x, y = _surrogate_net(matmul_precision, n_points=n_points,
                                pretrain_epochs=pretrain_epochs)
     likelihood = GaussianLikelihood(sd=0.1)
@@ -669,12 +678,10 @@ def bench_surrogate_eps_ladder(eps_list=(2e-5, 3.2e-5, 5e-5, 8e-5, 1.25e-4),
             log(f"eps_ladder settle {i + 1}/{settle_chunks}: "
                 f"accept {acc:.3f} ({time.perf_counter() - t0:.0f}s)")
 
-    # the driver's diag-metric recipe (sampler/driver.py), device-side std
-    sd = np.asarray(jnp.std(carry.theta, axis=0), np.float64)
-    pos = sd[sd > 0]
-    med = float(np.median(pos)) if pos.size else 1.0
-    scale = np.where(sd > 0, sd / max(med, 1e-12), 1.0)
-    step_scale = jnp.asarray(np.clip(scale, 1e-2, 1e2).astype(np.float32))
+    # the driver's own diag-metric recipe (shared helper, so this ladder
+    # cannot silently diverge from what adaptive runs actually do)
+    from tensorbnn_tpu.sampler.driver import estimate_step_scale
+    step_scale = jnp.asarray(estimate_step_scale(carry.theta))
     log(f"eps_ladder: metric estimated, scale range "
         f"[{float(step_scale.min()):.3g}, {float(step_scale.max()):.3g}]")
     # two preconditioned settle chunks at a known-good step so the ladder
@@ -1239,6 +1246,12 @@ def bench_writer(n_chains: int = 512):
     })
 
 
+def _parse_eps_arg(arg: str) -> tuple:
+    """The surrogate_eps_ladder CLI's eps-list contract: comma-separated
+    floats (validated ascending/non-empty by the bench itself)."""
+    return tuple(float(s) for s in arg.split(","))
+
+
 def main():
     global _OUT
     if "--out" in sys.argv:
@@ -1285,8 +1298,7 @@ def main():
         # brackets the exact-numerics stability boundary the grid ceiling
         # sits against (campaign r4h's 8x ceiling raise overshot it).
         # optional args: comma-separated eps list, leapfrog
-        eps_arg = (tuple(float(s) for s in sys.argv[2].split(","))
-                   if len(sys.argv) > 2
+        eps_arg = (_parse_eps_arg(sys.argv[2]) if len(sys.argv) > 2
                    else (2e-5, 3.2e-5, 5e-5, 8e-5, 1.25e-4))
         leap_arg = int(sys.argv[3]) if len(sys.argv) > 3 else 15
         bench_surrogate_eps_ladder(eps_list=eps_arg, leapfrog=leap_arg)

@@ -51,6 +51,31 @@ from tensorbnn_tpu.sampler.potential import flatten_state, \
     host_batch_unraveler, host_unraveler
 
 
+def estimate_step_scale(theta, clip_lo: float = 1e-2,
+                        clip_hi: float = 1e2) -> np.ndarray:
+    """The driver's diag-metric recipe: per-coordinate step scale from the
+    fleet's cross-chain spread, median-normalized and clipped.
+
+    The std is computed device-side so only the ``(D,)`` vector crosses
+    the tunnel, not the ``(C, D)`` fleet. Posterior anisotropy on
+    data-constrained problems spans orders of magnitude (stiff likelihood
+    directions vs prior-only ones) — a narrow clip neuters the metric
+    (measured on the 1M-point surrogate: [0.2, 5] forced the global eps
+    to the grid floor for a +20% gain; [1e-2, 1e2] lets the stiff
+    directions shrink out of the stability limit). The bounds still guard
+    against degenerate cross-chain estimates on unmixed coordinates.
+
+    Shared with the surrogate eps-ladder bench
+    (benchmarks/run_benchmarks.py) so the ladder cannot silently diverge
+    from the driver's own recipe.
+    """
+    sd = np.asarray(jnp.std(theta, axis=0), np.float64)
+    pos = sd[sd > 0]
+    med = float(np.median(pos)) if pos.size else 1.0
+    scale = np.where(sd > 0, sd / max(med, 1e-12), 1.0)
+    return np.clip(scale, clip_lo, clip_hi).astype(np.float32)
+
+
 @dataclasses.dataclass
 class MCMCConfig:
     """Sampler configuration, mirroring reference ``setupMCMC`` kwargs
@@ -918,22 +943,8 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
         if (precond_at is not None and windows_fired < len(precond_epochs)
                 and iter_ >= precond_epochs[windows_fired]):
             # (re-)estimate per-coordinate scales from the fleet's spread;
-            # the scale is a traced runner argument, so no recompile.
-            # std computed device-side: only the (D,) vector crosses the
-            # ~200MB/s axon tunnel, not the (C, D) fleet
-            sd = np.asarray(jnp.std(carry.theta, axis=0), np.float64)
-            pos = sd[sd > 0]
-            med = float(np.median(pos)) if pos.size else 1.0
-            scale = np.where(sd > 0, sd / max(med, 1e-12), 1.0)
-            # posterior anisotropy on data-constrained problems spans
-            # orders of magnitude (stiff likelihood directions vs
-            # prior-only ones) — a narrow clip neuters the metric
-            # (measured on the 1M-point surrogate: [0.2, 5] forced the
-            # global eps to the grid floor for a +20% gain; [1e-2, 1e2]
-            # lets the stiff directions shrink out of the stability
-            # limit). The bounds still guard against degenerate
-            # cross-chain estimates on unmixed coordinates.
-            step_scale = np.clip(scale, clip_lo, clip_hi).astype(np.float32)
+            # the scale is a traced runner argument, so no recompile
+            step_scale = estimate_step_scale(carry.theta, clip_lo, clip_hi)
             # consume every window whose epoch has passed (one estimate
             # covers them all — a long adapter cycle can skip several)
             windows_fired = max(windows_fired + 1,
