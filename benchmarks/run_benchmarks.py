@@ -437,7 +437,9 @@ def bench_surrogate_quality(n_chains: int = 32, precondition: bool = False,
                             uturn_probe: str = "always",
                             compensated: bool = False,
                             matmul_precision=None,
-                            eps_max_override=None):
+                            numerics: str = "default",
+                            eps_max_override=None,
+                            leapfrog_max_override=None):
     """The surrogate config as a *posterior*, not just a throughput number
     (round-1 PERF_NOTES gap 4): run the full adaptive driver with a step
     grid at the ~1e-7 scale this 1M-point target needs, assert acceptance
@@ -473,6 +475,13 @@ def bench_surrogate_quality(n_chains: int = 32, precondition: bool = False,
     from tensorbnn_tpu import GaussianLikelihood
     from tensorbnn_tpu.sampler.potential import flatten_state
 
+    if numerics == "exact":
+        # the driver's single-switch preset (compensated + exact-f32
+        # matmuls); mirrored into the local flags so the grid-ceiling
+        # logic and the emitted config echo stay truthful
+        compensated = True
+        matmul_precision = "highest"
+
     net, x, y = _surrogate_net(matmul_precision)
     burnin = 200
     # step grid capped at 1e-6: the GP adapter maximizes SJD, whose
@@ -485,6 +494,16 @@ def bench_surrogate_quality(n_chains: int = 32, precondition: bool = False,
     # epoch 60, right after the random phase, so the capped grid is
     # explored preconditioned)
     eps_max = 2e-5 if precondition else 1e-6
+    if (precondition and compensated and matmul_precision == "highest"
+            and eps_max_override is None):
+        # full-numerics default: the fixed-eps ladder measured the
+        # exact-numerics stability boundary in [5e-5, 8e-5) with 5e-5 the
+        # sweet spot (accept 0.49, 3.3x the SJD of the binding 2e-5
+        # ceiling — benchmarks/captures/r4_surr_eps_ladder.json, VERDICT
+        # round-4 #3). The 2e-5 ceiling was calibrated on the
+        # staircase-corrupted kernels and binds the exact-numerics runs
+        # at acceptance 0.95+.
+        eps_max = 5e-5
     if eps_max_override is not None:
         # the 2e-5 ceiling was calibrated on the staircase-corrupted
         # kernels, where larger steps bought rare-huge-jump SJD at
@@ -498,9 +517,16 @@ def bench_surrogate_quality(n_chains: int = 32, precondition: bool = False,
         # the RM controller explores the step range continuously toward
         # 0.8 acceptance (no grid) and the U-turn criterion picks the
         # trajectory length — bounds are guards, not a search space
+        # leapfrog_max=64 was sized for ungoverned dispatches (axon kills
+        # ~60-90s executions); under the dispatch governor longer
+        # trajectories split into bounded sub-dispatches, so the guard
+        # can be raised to let the U-turn criterion actually resolve
+        # (VERDICT round-4 #5: the 64 guard pinned L and froze eps
+        # mid-climb at 0.036 ESS/sec)
         net.setup_mcmc(step_size_start=5e-7, step_size_min=1e-9,
                        step_size_max=1e-4, leapfrog_start=10,
-                       leapfrog_min=2, leapfrog_max=64,
+                       leapfrog_min=2,
+                       leapfrog_max=int(leapfrog_max_override or 64),
                        hyper_step_size=1e-6, hyper_leapfrog=5,
                        burnin=burnin, averaging_steps=10)
     else:
@@ -577,6 +603,10 @@ def bench_surrogate_quality(n_chains: int = 32, precondition: bool = False,
         "uturn_probe": uturn_probe if uturn else None,
         "compensated": compensated,
         "matmul_precision": matmul_precision,
+        "numerics": numerics,
+        "eps_max": eps_max,
+        "leapfrog_max": (int(leapfrog_max_override or 64) if uturn
+                         else None),
         "dispatch_first_walls": [[round(k, 1), round(w, 3)]
                                  for k, w in res.dispatch_first_walls],
         "dispatch_warm_walls": [[round(k, 1), round(w, 3)]
@@ -1283,6 +1313,25 @@ def main():
                                 matmul_precision=mprec,
                                 compensated=compd,
                                 eps_max_override=eps_max_arg)
+    if which == "surrogate_quality_exact":
+        # the numerics="exact" preset through the grid path at the
+        # measured 5e-5 stability-boundary ceiling (precond + kahan +
+        # exact matmuls — the recommended big-data configuration).
+        # optional args: eps ceiling override, windows
+        eps_arg = float(sys.argv[2]) if len(sys.argv) > 2 else None
+        windows = int(sys.argv[3]) if len(sys.argv) > 3 else 1
+        bench_surrogate_quality(precondition=True, windows=windows,
+                                numerics="exact",
+                                eps_max_override=eps_arg)
+    if which == "surrogate_uturn_exact":
+        # governed dynamic-trajectory run under full numerics with the
+        # U-turn guard sized for the governor (VERDICT round-4 #5).
+        # optional args: leapfrog_max (default 256), probe schedule
+        lmax = int(sys.argv[2]) if len(sys.argv) > 2 else 256
+        probe = sys.argv[3] if len(sys.argv) > 3 else "alternate"
+        bench_surrogate_quality(precondition=True, uturn=True,
+                                uturn_probe=probe, numerics="exact",
+                                leapfrog_max_override=lmax)
     if which == "surrogate_quality_uturn":
         precond = len(sys.argv) > 2 and sys.argv[2] == "precond"
         windows = int(sys.argv[3]) if len(sys.argv) > 3 else 1

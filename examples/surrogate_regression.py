@@ -48,6 +48,13 @@ def main():
     ap.add_argument("--precondition", action="store_true",
                     help="diagonal-metric step preconditioner "
                          "(needs --chains >= 8)")
+    ap.add_argument("--default-numerics", action="store_true",
+                    help="opt OUT of the numerics='exact' preset (Kahan "
+                         "integration + exact-f32 matmuls). Big-data "
+                         "posteriors tune their step size into the f32 "
+                         "quantization / MXU-staircase regime, where "
+                         "default numerics silently stop sampling "
+                         "(benchmarks/PERF_NOTES.md round 4)")
     args = ap.parse_args()
 
     import jax
@@ -98,6 +105,8 @@ def main():
                     chain_jitter=0.0,
                     data_chunk=args.data_chunk or None,
                     precondition=args.precondition,
+                    numerics=("default" if args.default_numerics
+                              else "exact"),
                     display_skip=max(epochs // 5, 1))
 
     print(f"\n{res.theta_samples.shape[0]} samples, "

@@ -152,8 +152,9 @@ class Network:
               precondition_clip=(1e-2, 1e2),
               precondition_windows: int = 1,
               compensated: bool = False,
+              numerics: str = "default",
               trajectory: str = "adapter",
-              uturn_probe: str = "always",
+              uturn_probe: str = "alternate",
               tempering: int = 1,
               tempering_beta_min: float = 0.1,
               checkpoint_dir=None,
@@ -197,6 +198,7 @@ class Network:
             precondition_clip=precondition_clip,
             precondition_windows=precondition_windows,
             compensated=compensated,
+            numerics=numerics,
             trajectory=trajectory,
             uturn_probe=uturn_probe,
             tempering=tempering,

@@ -51,6 +51,32 @@ from tensorbnn_tpu.sampler.potential import flatten_state, \
     host_batch_unraveler, host_unraveler
 
 
+def exact_numerics_model(model: Sequential) -> Sequential:
+    """The ``numerics="exact"`` preset's model half: every dense layer
+    evaluated with exact-f32 matmuls (``matmul_precision="highest"``).
+
+    TPU's *default* f32 matmul rounds operands to bf16 on the MXU, which
+    turns a big-data log posterior into a staircase in theta (measured:
+    78-nat steps on the 1M-point surrogate vs 0.065-nat smoothness at
+    exact precision — benchmarks/PERF_NOTES.md round 4). Layers without
+    a ``matmul_precision`` field (activations) pass through; layers that
+    already request a precision keep it.
+    """
+    new_layers = []
+    for layer in model.layers:
+        if getattr(layer, "compute_dtype", None):
+            raise ValueError(
+                f"numerics='exact' conflicts with layer {layer.name!r} "
+                f"compute_dtype={layer.compute_dtype!r}: exact numerics "
+                "needs exact-f32 matmuls, bf16 compute asks for the "
+                "opposite")
+        if (hasattr(layer, "matmul_precision")
+                and layer.matmul_precision is None):
+            layer = dataclasses.replace(layer, matmul_precision="highest")
+        new_layers.append(layer)
+    return Sequential(new_layers)
+
+
 def estimate_step_scale(theta, clip_lo: float = 1e-2,
                         clip_hi: float = 1e2) -> np.ndarray:
     """The driver's diag-metric recipe: per-coordinate step scale from the
@@ -291,8 +317,9 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
                      precondition_clip=(1e-2, 1e2),
                      precondition_windows: int = 1,
                      compensated: bool = False,
+                     numerics: str = "default",
                      trajectory: str = "adapter",
-                     uturn_probe: str = "always",
+                     uturn_probe: str = "alternate",
                      tempering: int = 1,
                      tempering_beta_min: float = 0.1,
                      donate: bool = False,
@@ -360,13 +387,24 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
     kernel's U-turn-recording program variant when the kernel engages.
 
     ``uturn_probe``: burn-in probing schedule for ``trajectory="uturn"``.
-    ``"always"`` (default) executes ``ceil(l_hat * GROW)`` every burn-in
-    chunk so every trajectory's U-turn is observed rather than censored —
-    at ~``GROW - 1`` (50%) extra gradient work through burn-in.
-    ``"alternate"`` interleaves probe chunks with exploit chunks run at
-    ``l_hat`` (~25% tax); only probe chunks feed the length reservoir, so
-    exploit-chunk censoring never biases the distribution down
-    (sampler/uturn.py).
+    ``"alternate"`` (default since round 5) interleaves probe chunks
+    (run at ``ceil(l_hat * GROW)`` so U-turns are observed, not
+    censored) with exploit chunks run at ``l_hat`` (~25% probe tax);
+    only probe chunks feed the length reservoir, so exploit-chunk
+    censoring never biases the distribution down (sampler/uturn.py).
+    ``"always"`` probes every burn-in chunk (~50% tax). Round 4 measured
+    the schedules statistically equivalent in quality with ``alternate``
+    at most as expensive everywhere (benchmarks/PERF_NOTES.md round 4
+    "probe tax"), which is why it is the default; trajectories are NOT
+    bit-identical across schedules (version-scoped determinism policy).
+
+    ``numerics``: ``"exact"`` is the single-switch big-data preset the
+    round-4 measurements decided: Kahan-compensated integration
+    (``compensated=True``) plus exact-f32 matmuls on every dense layer
+    (:func:`exact_numerics_model`). Use it whenever the tuned step size
+    approaches the f32 ulp of the parameter magnitude — the regime the
+    one-shot runtime advisory warns about — instead of assembling the
+    three flags by hand. ``"default"`` changes nothing.
 
     ``compensated``: Kahan-compensated main-block leapfrog accumulation
     (sampler/hmc.py) — opt in for big-data posteriors whose stable step
@@ -424,6 +462,14 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
     trajectory lengths within the very first chunks).
     """
     t_start = time.time()
+    if numerics not in ("default", "exact"):
+        raise ValueError(
+            f"numerics must be 'default' or 'exact', got {numerics!r}")
+    if numerics == "exact":
+        # the single-switch big-data preset: Kahan integration + exact-f32
+        # matmuls (the round-4 measured recommendation — PERF_NOTES)
+        compensated = True
+        model = exact_numerics_model(model)
     if n_adapters < 1 or n_chains % n_adapters:
         raise ValueError(
             f"n_adapters ({n_adapters}) must be >= 1 and divide "
@@ -1210,12 +1256,12 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
                     f"16 ulps of the parameter magnitude (rms |theta| "
                     f"{rms:.3g}, ulp {ulp:.3g}): plain f32 leapfrog drifts "
                     "quantize or freeze in this regime and acceptance "
-                    "statistics become meaningless. Pass compensated=True "
-                    "(Kahan-compensated integrator); if acceptance stays "
-                    "low and *rises* as the step size shrinks, also set "
-                    "matmul_precision='highest' on the dense layers (MXU "
-                    "default-precision staircase — diagnose with "
-                    "`run_benchmarks.py potential_noise`).",
+                    "statistics become meaningless. Pass numerics='exact' "
+                    "(the big-data preset: Kahan-compensated integrator + "
+                    "exact-f32 matmuls; fixes both this and the MXU "
+                    "default-precision staircase, whose signature is low "
+                    "acceptance that *rises* as the step size shrinks — "
+                    "diagnose with `run_benchmarks.py potential_noise`).",
                     RuntimeWarning, stacklevel=2)
                 numerics_advised = True
         if checkpoint_dir and checkpoint_every and \

@@ -317,3 +317,109 @@ def test_compensated_uturn_mode():
                     compensated=True, verbose=False)
     assert np.all(np.isfinite(res.theta_samples))
     assert 0.0 < float(res.main_accept.mean()) <= 1.0
+
+
+def _tiny_net(seed=7, **mcmc):
+    from tensorbnn_tpu import GaussianDenseLayer, Tanh
+    from tensorbnn_tpu.network import Network
+
+    x = np.linspace(-1, 1, 16)
+    y = np.sin(x * math.pi)
+    net = Network(jnp.float32, 1, x, y, x, y, seed=seed)
+    net.add(GaussianDenseLayer(1, 5)).add(Tanh())
+    net.add(GaussianDenseLayer(5, 1))
+    base = dict(step_size_start=2e-3, step_size_min=1e-5,
+                step_size_max=5e-2, step_size_options=8,
+                leapfrog_start=8, leapfrog_min=2, leapfrog_max=32,
+                leapfrog_increment=4, hyper_leapfrog=4, burnin=40,
+                averaging_steps=5, random_steps=2, adapter_seed=0)
+    net.setup_mcmc(**{**base, **mcmc})
+    return net
+
+
+def test_exact_numerics_model_replaces_dense_precision():
+    import dataclasses
+
+    from tensorbnn_tpu import GaussianDenseLayer, Tanh
+    from tensorbnn_tpu.models.layers import CauchyDenseLayer
+    from tensorbnn_tpu.models.sequential import Sequential
+    from tensorbnn_tpu.sampler.driver import exact_numerics_model
+
+    model = Sequential([GaussianDenseLayer(1, 5), Tanh(),
+                        CauchyDenseLayer(5, 1)])
+    exact = exact_numerics_model(model)
+    assert exact.layers[0].matmul_precision == "highest"
+    assert exact.layers[2].matmul_precision == "highest"
+    # activations pass through untouched; the original model is untouched
+    assert exact.layers[1] is model.layers[1]
+    assert model.layers[0].matmul_precision is None
+    # an explicit per-layer request survives
+    model2 = Sequential([GaussianDenseLayer(1, 5,
+                                            matmul_precision="high")])
+    assert exact_numerics_model(model2).layers[0].matmul_precision == "high"
+    # bf16 compute asks for the opposite -> loud error
+    model3 = Sequential([dataclasses.replace(GaussianDenseLayer(1, 5),
+                                             compute_dtype="bfloat16")])
+    try:
+        exact_numerics_model(model3)
+    except ValueError as e:
+        assert "compute_dtype" in str(e)
+    else:
+        raise AssertionError("expected ValueError")
+
+
+def test_numerics_exact_preset_matches_manual_flags():
+    # numerics="exact" == compensated=True + matmul_precision="highest"
+    # on every dense layer: same seeds -> bit-identical trajectories
+    from tensorbnn_tpu import FixedGaussianLikelihood, GaussianDenseLayer, \
+        Tanh
+    from tensorbnn_tpu.network import Network
+
+    net = _tiny_net()
+    res = net.train(80, 4, FixedGaussianLikelihood(sd=0.1),
+                    n_chains=4, chain_jitter=0.05, numerics="exact",
+                    verbose=False)
+    assert np.all(np.isfinite(res.theta_samples))
+    assert 0.0 < float(res.main_accept.mean()) <= 1.0
+
+    x = np.linspace(-1, 1, 16)
+    y = np.sin(x * math.pi)
+    net2 = Network(jnp.float32, 1, x, y, x, y, seed=7)
+    net2.add(GaussianDenseLayer(1, 5, matmul_precision="highest"))
+    net2.add(Tanh())
+    net2.add(GaussianDenseLayer(5, 1, matmul_precision="highest"))
+    net2.setup_mcmc(step_size_start=2e-3, step_size_min=1e-5,
+                    step_size_max=5e-2, step_size_options=8,
+                    leapfrog_start=8, leapfrog_min=2, leapfrog_max=32,
+                    leapfrog_increment=4, hyper_leapfrog=4, burnin=40,
+                    averaging_steps=5, random_steps=2, adapter_seed=0)
+    res2 = net2.train(80, 4, FixedGaussianLikelihood(sd=0.1),
+                      n_chains=4, chain_jitter=0.05, compensated=True,
+                      verbose=False)
+    np.testing.assert_array_equal(res.theta_samples, res2.theta_samples)
+    np.testing.assert_array_equal(res.main_accept, res2.main_accept)
+
+
+def test_numerics_validation():
+    import pytest
+
+    from tensorbnn_tpu import FixedGaussianLikelihood
+
+    net = _tiny_net()
+    with pytest.raises(ValueError, match="numerics"):
+        net.train(10, 2, FixedGaussianLikelihood(sd=0.1),
+                  numerics="fast", verbose=False)
+
+
+def test_uturn_probe_default_is_alternate():
+    # round-4 measurement: alternate is quality-equivalent and at most as
+    # expensive everywhere (PERF_NOTES round 4) -> the shipped default
+    import inspect
+
+    from tensorbnn_tpu.network import Network
+    from tensorbnn_tpu.sampler.driver import sample_posterior
+
+    assert (inspect.signature(sample_posterior)
+            .parameters["uturn_probe"].default == "alternate")
+    assert (inspect.signature(Network.train)
+            .parameters["uturn_probe"].default == "alternate")
