@@ -49,23 +49,25 @@ def main():
         f"{out['put_scalar_ms_drained']}ms/call drained")
 
     # -- 2. d2h fetch RTT --------------------------------------------------
-    small = jnp.ones((4,), jnp.float32)
-    small.block_until_ready()
-    np.asarray(small)  # warm path
+    # JAX caches the host copy after the first materialization of an
+    # array, so each iteration must fetch a DISTINCT, never-fetched
+    # buffer to measure the real tunnel round-trip
+    smalls = [jnp.full((4,), float(i)) for i in range(50)]
+    jax.block_until_ready(smalls)
+    np.asarray(jnp.ones((4,)))  # warm the fetch path once
     t0 = time.perf_counter()
-    for _ in range(50):
-        np.asarray(small)
+    for s in smalls:
+        np.asarray(s)
     rtt = (time.perf_counter() - t0) / 50
     out["fetch_small_ms"] = round(rtt * 1e3, 3)
     log(f"d2h small fetch: {out['fetch_small_ms']}ms")
 
     # medium fetch (1.3MB, the per-chunk sample-row scale)
-    med = jnp.ones((5, 512, 128), jnp.float32)
-    med.block_until_ready()
-    np.asarray(med)
+    meds = [jnp.full((5, 512, 128), float(i)) for i in range(5)]
+    jax.block_until_ready(meds)
     t0 = time.perf_counter()
-    for _ in range(5):
-        np.asarray(med)
+    for m in meds:
+        np.asarray(m)
     out["fetch_1p3mb_ms"] = round((time.perf_counter() - t0) / 5 * 1e3, 1)
     log(f"d2h 1.3MB fetch: {out['fetch_1p3mb_ms']}ms")
 
@@ -94,32 +96,35 @@ def main():
         f"block_until_ready {out['dispatch_block_ms']}ms, "
         f"fetch {out['dispatch_fetch_ms']}ms (value {v:.3g})")
 
-    # -- 4. fused vs separate fetches -------------------------------------
-    arrs = [jnp.full((10, 512), float(i)) for i in range(6)]
-    jax.block_until_ready(arrs)
-    [np.asarray(a) for a in arrs]
-    t0 = time.perf_counter()
-    for _ in range(10):
+    # -- 4. fused vs separate fetches (fresh buffers each trial) ----------
+    def fresh_six(tag):
+        a = [jnp.full((10, 512), float(i) + tag) for i in range(6)]
+        jax.block_until_ready(a)
+        return a
+
+    t_sep = t_fused = 0.0
+    for trial in range(10):
+        arrs = fresh_six(100 + trial * 10)
+        t0 = time.perf_counter()
         for a in arrs:
             np.asarray(a)
-    t_sep = (time.perf_counter() - t0) / 10
-    t0 = time.perf_counter()
-    for _ in range(10):
+        t_sep += time.perf_counter() - t0
+        arrs = fresh_six(1000 + trial * 10)
+        t0 = time.perf_counter()
         jax.device_get(tuple(arrs))
-    t_fused = (time.perf_counter() - t0) / 10
-    out["fetch6_separate_ms"] = round(t_sep * 1e3, 1)
-    out["fetch6_device_get_ms"] = round(t_fused * 1e3, 1)
+        t_fused += time.perf_counter() - t0
+    out["fetch6_separate_ms"] = round(t_sep / 10 * 1e3, 1)
+    out["fetch6_device_get_ms"] = round(t_fused / 10 * 1e3, 1)
     log(f"6-array fetch: separate {out['fetch6_separate_ms']}ms, "
         f"one device_get {out['fetch6_device_get_ms']}ms")
 
     # -- 5. overlap: fetch behind an in-flight dispatch --------------------
-    done = jnp.ones((5, 512, 128), jnp.float32) * 2.0
+    done = jnp.full((5, 512, 128), 2.0)
     done.block_until_ready()
-    np.asarray(done)
     t0 = time.perf_counter()
-    r = burn(x, n_iter)          # ~1s in flight
+    r = burn(x, n_iter)          # ~50ms in flight
     t_disp = time.perf_counter() - t0
-    got = np.asarray(done)       # already materialized — can it overtake?
+    got = np.asarray(done)       # materialized but never fetched
     t_overlap_fetch = time.perf_counter() - t0 - t_disp
     float(np.asarray(r))
     t_total = time.perf_counter() - t0
