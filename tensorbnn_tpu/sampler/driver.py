@@ -1123,6 +1123,16 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
                 # pattern for the whole first chunk (network.py:509-670).
                 pieces = [(j, 1) for j in range(chunk)]
                 bootstrapping = True
+        # governed (multi-piece) chunks must block per piece: the cost
+        # model learns from per-piece walls and an unbounded in-flight
+        # queue is exactly what the governor exists to prevent. The
+        # ungoverned single-piece path skips the extra block RPC — the
+        # batched device_get right after the loop is the completion
+        # marker (through axon every blocking call is a fresh ~25-55ms
+        # round-trip; 130 chunks of them cost ~7s of the flagship wall),
+        # and its end-time closes the dispatch wall instead.
+        sync_pieces = len(pieces) > 1 or max_dispatch_seconds is not None
+        deferred_piece = None   # (work, d_n, t_disp) for the async path
         sub_traces = []
         pending = list(pieces)
         while pending:
@@ -1136,11 +1146,13 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
             else:
                 carry, tr = run_chunk(carry, x_train, y_train, eps_arg,
                                       d_leap, d_n)
-            # blocking here costs nothing extra: the host consumes
-            # trace.sjd synchronously right after the pieces loop anyway
+            work_d = float(np.sum(disp_work[d_off:d_off + d_n]))
+            if not sync_pieces:
+                deferred_piece = (work_d, d_n, t_disp)
+                sub_traces.append(tr)
+                continue
             jax.block_until_ready(tr.sjd)
             wall_d = time.perf_counter() - t_disp
-            work_d = float(np.sum(disp_work[d_off:d_off + d_n]))
             if d_n in disp_sizes_seen:
                 # warm execution: the wall is pure device+transfer time
                 # (a first-of-size call includes the compile, which
@@ -1213,7 +1225,21 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
             pending_eta.append(et_c)
             pending_bytes += th_c.nbytes + et_c.nbytes
         fetched = jax.device_get(fetch_dev)
-        fetch_wall += time.perf_counter() - t_fetch
+        t_got = time.perf_counter()
+        if deferred_piece is not None:
+            # async single-piece path: the get doubles as the completion
+            # marker, so dispatch-to-materialization is the chunk's
+            # dispatch wall (the ~30ms get RTT rides inside it) and the
+            # fetch bucket records only the sample-drain waits
+            work_d, d_n, t_disp = deferred_piece
+            wall_d = t_got - t_disp
+            if d_n in disp_sizes_seen:
+                disp_warm_walls.append((work_d, wall_d))
+            else:
+                disp_first_walls.append((work_d, wall_d))
+            disp_sizes_seen.add(d_n)
+        else:
+            fetch_wall += t_got - t_fetch
         if pending_bytes >= pending_submit_bytes:
             _submit_pending()
 
