@@ -439,7 +439,8 @@ def bench_surrogate_quality(n_chains: int = 32, precondition: bool = False,
                             matmul_precision=None,
                             numerics: str = "default",
                             eps_max_override=None,
-                            leapfrog_max_override=None):
+                            leapfrog_max_override=None,
+                            uturn_step_start=None):
     """The surrogate config as a *posterior*, not just a throughput number
     (round-1 PERF_NOTES gap 4): run the full adaptive driver with a step
     grid at the ~1e-7 scale this 1M-point target needs, assert acceptance
@@ -523,7 +524,13 @@ def bench_surrogate_quality(n_chains: int = 32, precondition: bool = False,
         # can be raised to let the U-turn criterion actually resolve
         # (VERDICT round-4 #5: the 64 guard pinned L and froze eps
         # mid-climb at 0.036 ESS/sec)
-        net.setup_mcmc(step_size_start=5e-7, step_size_min=1e-9,
+        # step_size_start defaults to the conservative 5e-7; the r5
+        # governed capture measured the RM controller still 4 decades
+        # into its climb at burn-in end (eps frozen 2.06e-6 at accept
+        # 0.957 — r5_surr_uturn_exact.log), so the override seeds RM at
+        # the measured landing zone and burn-in refines around it
+        net.setup_mcmc(step_size_start=float(uturn_step_start or 5e-7),
+                       step_size_min=1e-9,
                        step_size_max=1e-4, leapfrog_start=10,
                        leapfrog_min=2,
                        leapfrog_max=int(leapfrog_max_override or 64),
@@ -607,6 +614,8 @@ def bench_surrogate_quality(n_chains: int = 32, precondition: bool = False,
         "eps_max": eps_max,
         "leapfrog_max": (int(leapfrog_max_override or 64) if uturn
                          else None),
+        "uturn_step_start": (float(uturn_step_start or 5e-7) if uturn
+                             else None),
         "dispatch_first_walls": [[round(k, 1), round(w, 3)]
                                  for k, w in res.dispatch_first_walls],
         "dispatch_warm_walls": [[round(k, 1), round(w, 3)]
@@ -1326,12 +1335,15 @@ def main():
     if which == "surrogate_uturn_exact":
         # governed dynamic-trajectory run under full numerics with the
         # U-turn guard sized for the governor (VERDICT round-4 #5).
-        # optional args: leapfrog_max (default 256), probe schedule
+        # optional args: leapfrog_max (default 256), probe schedule,
+        # RM step_size_start seed (default 5e-7)
         lmax = int(sys.argv[2]) if len(sys.argv) > 2 else 256
         probe = sys.argv[3] if len(sys.argv) > 3 else "alternate"
+        eps0 = float(sys.argv[4]) if len(sys.argv) > 4 else None
         bench_surrogate_quality(precondition=True, uturn=True,
                                 uturn_probe=probe, numerics="exact",
-                                leapfrog_max_override=lmax)
+                                leapfrog_max_override=lmax,
+                                uturn_step_start=eps0)
     if which == "surrogate_quality_uturn":
         precond = len(sys.argv) > 2 and sys.argv[2] == "precond"
         windows = int(sys.argv[3]) if len(sys.argv) > 3 else 1
