@@ -9,12 +9,14 @@ Run single-chip: python examples/surrogate_regression.py --smoke
 Multi-chip:      pass --data-devices N (requires N devices).
 
 Single-chip quality configuration (the measured best for the full
-1M-point run, benchmarks/PERF_NOTES.md round 3): ``--chains 32
---data-chunk 125000 --precondition`` — a 32-chain fleet whose activation
-HBM is bounded by exact chunked gradient accumulation, with the
-diagonal-metric preconditioner handling the posterior's anisotropy
-(0.88 effective samples/sec at calibrated acceptance vs 0.06-0.10 for a
-single un-chunked chain).
+1M-point run, benchmarks/PERF_NOTES.md round 5): ``--chains 32
+--data-chunk 125000`` — a 32-chain fleet whose activation HBM is
+bounded by exact chunked gradient accumulation, under the default
+``numerics="exact"`` preset. Leave ``--precondition`` OFF here: the
+cross-chain metric estimate on this MAP-started fleet is either
+near-identity (no effect) or corrupted by the adapter's random-phase
+exploration (collapses acceptance to 0 — measured, PERF_NOTES round 5);
+the identity metric matches the measured stability boundary.
 """
 
 import argparse
@@ -47,7 +49,10 @@ def main():
                          "bounds activation HBM for wide fleets)")
     ap.add_argument("--precondition", action="store_true",
                     help="diagonal-metric step preconditioner "
-                         "(needs --chains >= 8)")
+                         "(needs --chains >= 8). Not recommended on "
+                         "this target: the cross-chain estimate is "
+                         "near-identity or corrupted here (PERF_NOTES "
+                         "round 5)")
     ap.add_argument("--default-numerics", action="store_true",
                     help="opt OUT of the numerics='exact' preset (Kahan "
                          "integration + exact-f32 matmuls). Big-data "
