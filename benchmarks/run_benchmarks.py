@@ -410,13 +410,35 @@ def _surrogate_net(matmul_precision=None, n_points: int = 1_000_000,
     # mode and the adapter's step search is about curvature, not transit
     from tensorbnn_tpu.training.pretrain import dense_warm_start, \
         train_basic_regression
-    log("surrogate: data built, pretraining (silent, remote "
-        "compiles + ~500 tunnel dispatches — takes minutes)...")
-    w, b, _ = train_basic_regression(
-        2, d_in, 1, width, cycles=1, epochs=pretrain_epochs, alpha=0.1,
-        train_in=x, train_out=y, val_in=x[:4096], val_out=y[:4096],
-        batch_size=min(8192, n_points), callbacks=False,
-        hidden_activation="tanh")
+    # the MAP pretrain is bit-deterministic for a fixed config (attempt
+    # 2/3 of the round-5 grid capture reproduced identical sampling
+    # trajectories from independently-run pretrains), so the full-scale
+    # benches cache it on disk: each wedge-kill-resume and each bench in
+    # a campaign would otherwise re-pay ~10 min of remote compiles +
+    # ~500 tunnel dispatches for the exact same weights
+    cache_file = None
+    if n_points == 1_000_000:
+        cache_file = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "captures",
+            f"surrogate_pretrain_e{pretrain_epochs}.npz")
+    if cache_file and os.path.exists(cache_file):
+        z = np.load(cache_file)
+        n_l = int(z["n_layers"])
+        w = [z[f"w{i}"] for i in range(n_l)]
+        b = [z[f"b{i}"] for i in range(n_l)]
+        log(f"surrogate: pretrain warm start loaded from {cache_file}")
+    else:
+        log("surrogate: data built, pretraining (silent, remote "
+            "compiles + ~500 tunnel dispatches — takes minutes)...")
+        w, b, _ = train_basic_regression(
+            2, d_in, 1, width, cycles=1, epochs=pretrain_epochs, alpha=0.1,
+            train_in=x, train_out=y, val_in=x[:4096], val_out=y[:4096],
+            batch_size=min(8192, n_points), callbacks=False,
+            hidden_activation="tanh")
+        if cache_file:
+            arrs = {f"w{i}": np.asarray(a) for i, a in enumerate(w)}
+            arrs.update({f"b{i}": np.asarray(a) for i, a in enumerate(b)})
+            np.savez(cache_file, n_layers=len(w), **arrs)
 
     net = Network(jnp.float32, d_in, x, y, x[:256], y[:256], seed=3)
     net.add(GaussianDenseLayer(d_in, width,
@@ -440,7 +462,8 @@ def bench_surrogate_quality(n_chains: int = 32, precondition: bool = False,
                             numerics: str = "default",
                             eps_max_override=None,
                             leapfrog_max_override=None,
-                            uturn_step_start=None):
+                            uturn_step_start=None,
+                            epochs_override=None):
     """The surrogate config as a *posterior*, not just a throughput number
     (round-1 PERF_NOTES gap 4): run the full adaptive driver with a step
     grid at the ~1e-7 scale this 1M-point target needs, assert acceptance
@@ -489,13 +512,14 @@ def bench_surrogate_quality(n_chains: int = 32, precondition: bool = False,
     # optimum on this target sits at eps ~ 2e-6 with acceptance ~ 0.05
     # (measured) — rare huge jumps. Capping the grid pins the adapter in
     # the calibrated-acceptance regime the bench asserts on (the
-    # reference's users tune these grids the same way). With the
-    # diagonal metric the stiff directions shrink out of the stability
-    # limit, so the grid ceiling rises ~20x (and estimation happens at
-    # epoch 60, right after the random phase, so the capped grid is
-    # explored preconditioned)
+    # reference's users tune these grids the same way). The 2e-5
+    # preconditioned ceiling dates from the round-3 staircase-corrupted
+    # kernels; the round-5 identity-metric capture showed the real
+    # ceiling raise came from the exact-numerics fix, not the metric
+    # (PERF_NOTES round 5), so these two legacy values only apply to
+    # non-exact numerics
     eps_max = 2e-5 if precondition else 1e-6
-    if (precondition and compensated and matmul_precision == "highest"
+    if (compensated and matmul_precision == "highest"
             and eps_max_override is None):
         # full-numerics default: the fixed-eps ladder measured the
         # exact-numerics stability boundary in [5e-5, 8e-5) with 5e-5 the
@@ -503,7 +527,13 @@ def bench_surrogate_quality(n_chains: int = 32, precondition: bool = False,
         # ceiling — benchmarks/captures/r4_surr_eps_ladder.json, VERDICT
         # round-4 #3). The 2e-5 ceiling was calibrated on the
         # staircase-corrupted kernels and binds the exact-numerics runs
-        # at acceptance 0.95+.
+        # at acceptance 0.95+. The boundary is an *identity-metric*
+        # property: the ladder's own metric estimate was near-flat
+        # ([0.56, 1.50]), and the round-5 identity-metric adaptive run
+        # settled at 3.2e-5 / accept 0.70 under this ceiling while the
+        # preconditioned one collapsed on a corrupted epoch-63 estimate
+        # (r5_surr_grid_exact_np.json vs r5_surr_grid_exact.json) — so
+        # the ceiling applies with or without `precondition`.
         eps_max = 5e-5
     if eps_max_override is not None:
         # the 2e-5 ceiling was calibrated on the staircase-corrupted
@@ -525,10 +555,15 @@ def bench_surrogate_quality(n_chains: int = 32, precondition: bool = False,
         # (VERDICT round-4 #5: the 64 guard pinned L and froze eps
         # mid-climb at 0.036 ESS/sec)
         # step_size_start defaults to the conservative 5e-7; the r5
-        # governed capture measured the RM controller still 4 decades
-        # into its climb at burn-in end (eps frozen 2.06e-6 at accept
-        # 0.957 — r5_surr_uturn_exact.log), so the override seeds RM at
-        # the measured landing zone and burn-in refines around it
+        # governed capture measured the RM controller still mid-climb at
+        # burn-in end (eps frozen 2.06e-6 at accept 0.957 vs the 0.8
+        # target — r5_surr_uturn_exact.attempt1.log) at a climb rate
+        # (~x1.8/100 epochs) too slow for ANY seed far below target to
+        # converge in 200 burn-in epochs. The decisive seed is the grid
+        # path's measured equilibrium region (grid settled at 3.2e-5 /
+        # accept 0.70 — r5_surr_grid_exact_np.json): seed just below it
+        # (2e-5) and let burn-in refine in place; if dynamic trajectories
+        # cannot compete from there, the retire decision is airtight
         net.setup_mcmc(step_size_start=float(uturn_step_start or 5e-7),
                        step_size_min=1e-9,
                        step_size_max=1e-4, leapfrog_start=10,
@@ -545,11 +580,36 @@ def bench_surrogate_quality(n_chains: int = 32, precondition: bool = False,
                        random_steps=5)
 
     log("surrogate_quality: pretrain done, sampling...")
-    epochs, sampling_step = 600, 2
+    # epochs_override trades post-burn-in window (ESS resolution) for a
+    # bounded wall clock — used when a governed uturn run must complete
+    # inside a campaign slot (worst case ~12s/epoch at the 2e-6/L-41
+    # regime, r5_surr_uturn_exact.attempt1.log); ESS/sec is a rate, so
+    # a shorter window stays comparable for keep/retire decisions
+    epochs, sampling_step = int(epochs_override or 600), 2
+    # checkpoint next to the --out artifact: three round-5 attempts at
+    # this 40-minute capture died to axon tunnel wedges / killed
+    # sessions with zero salvage; with incremental checkpoints a wedge
+    # costs kill+relaunch (fingerprint-validated resume) instead of the
+    # whole run. Removed on a clean finish so a fresh invocation of the
+    # same bench never resumes stale state.
+    ckpt_dir = (_OUT + ".ckpt") if _OUT else None
+    resume_epoch = 0
+    if ckpt_dir and os.path.exists(os.path.join(ckpt_dir, "resume.json")):
+        try:
+            # the carry's epoch counter is per-chain (C,); all chains
+            # share the global epoch — read lane 0
+            resume_epoch = int(np.asarray(np.load(
+                os.path.join(ckpt_dir, "resume.npz"))["epoch"]).reshape(-1)[0])
+        except Exception:
+            resume_epoch = -1   # resuming, epoch unreadable
+        log(f"surrogate_quality: resuming from checkpoint at epoch "
+            f"{resume_epoch}")
     t0 = time.perf_counter()
     res = net.train(epochs, sampling_step, GaussianLikelihood(sd=0.1),
                     n_chains=n_chains, chain_jitter=0.0,
                     data_chunk=125_000,
+                    checkpoint_dir=ckpt_dir,
+                    checkpoint_every=4 if ckpt_dir else 0,
                     # progress lines every 50 epochs: a timed-out run
                     # still leaves its pace + acceptance in the log
                     display_skip=50,
@@ -567,9 +627,35 @@ def bench_surrogate_quality(n_chains: int = 32, precondition: bool = False,
                     # chunked likelihood cross that without the governor
                     max_dispatch_seconds=25.0,
                     verbose=True)
-    dt = time.perf_counter() - t0
+    dt_proc = time.perf_counter() - t0
+    # a resumed process only paid wall for the post-resume epochs;
+    # extrapolate the full-run sampling wall at this process's measured
+    # pace (one compiled program serves every chunk, so per-epoch cost
+    # is stable) — ESS/sec quoted from a wedge-kill-resume capture then
+    # reflects the pace a clean run would have had, not a discounted
+    # wall. Both raw and extrapolated values land in the artifact.
+    if resume_epoch > 0 and epochs > resume_epoch:
+        dt = dt_proc * epochs / (epochs - resume_epoch)
+    else:
+        dt = dt_proc
 
     acc = float(res.main_accept[burnin:].mean())
+    # insurance partial: the post-train ESS extraction pays 2-3 fresh
+    # remote compiles (minutes, and the tunnel can wedge — the first
+    # r5 noprecond attempt lost 30 minutes of samples to a killed
+    # process with no artifact); flush the cheap host-side facts first
+    emit({"partial": True, "phase": "train_done",
+          "mean_accept_post_burnin": round(acc, 4),
+          "accept_in_band": bool(0.2 <= acc <= 0.99),
+          "wall_seconds": round(dt, 1),
+          "wall_seconds_this_process": round(dt_proc, 1),
+          "resume_epoch": resume_epoch,
+          "final_step_size": res.final_step_size,
+          "final_leapfrog": res.final_leapfrog,
+          "compile_wall_seconds": round(res.compile_wall_estimate, 1),
+          "trajectory": "uturn" if uturn else "adapter",
+          "precondition": bool(precondition),
+          "numerics": numerics, "eps_max": eps_max}, final=False)
     # pooled ESS of the predictive mean at a probe point across all chains
     params, hypers = net.init_state()
     flat = flatten_state(params, hypers,
@@ -602,6 +688,8 @@ def bench_surrogate_quality(n_chains: int = 32, precondition: bool = False,
         "min_param_ess": round(float(param_ess), 1),
         "n_chains": n_chains,
         "wall_seconds": round(dt, 1),
+        "wall_seconds_this_process": round(dt_proc, 1),
+        "resume_epoch": resume_epoch,
         "final_step_size": res.final_step_size,
         "final_leapfrog": res.final_leapfrog,
         "precond_windows": windows if precondition else 0,
@@ -612,6 +700,7 @@ def bench_surrogate_quality(n_chains: int = 32, precondition: bool = False,
         "matmul_precision": matmul_precision,
         "numerics": numerics,
         "eps_max": eps_max,
+        "epochs": epochs,
         "leapfrog_max": (int(leapfrog_max_override or 64) if uturn
                          else None),
         "uturn_step_start": (float(uturn_step_start or 5e-7) if uturn
@@ -625,6 +714,11 @@ def bench_surrogate_quality(n_chains: int = 32, precondition: bool = False,
         "untracked_wall_seconds": round(res.untracked_wall, 2),
         "potential": "xla-tree",
     })
+    if ckpt_dir and os.path.isdir(ckpt_dir):
+        # clean finish: drop the wedge-insurance checkpoints so a fresh
+        # invocation of this bench never resumes a completed run's state
+        import shutil
+        shutil.rmtree(ckpt_dir, ignore_errors=True)
 
 
 def bench_surrogate_eps_ladder(eps_list=(2e-5, 3.2e-5, 5e-5, 8e-5, 1.25e-4),
@@ -1324,26 +1418,45 @@ def main():
                                 eps_max_override=eps_max_arg)
     if which == "surrogate_quality_exact":
         # the numerics="exact" preset through the grid path at the
-        # measured 5e-5 stability-boundary ceiling (precond + kahan +
-        # exact matmuls — the recommended big-data configuration).
-        # optional args: eps ceiling override, windows
+        # measured 5e-5 stability-boundary ceiling (kahan + exact
+        # matmuls — the recommended big-data configuration).
+        # optional args: eps ceiling override, windows, metric mode.
+        # Default is the identity metric ("noprecond"): the r4 ladder's
+        # boundary was measured under a near-identity metric estimate
+        # ([0.56, 1.50] — r4_surr_eps_ladder.json); the round-5
+        # identity-metric run held accept 0.70 at eps 3.2e-5
+        # (r5_surr_grid_exact_np.json) while the preconditioned 5e-5 run
+        # collapsed because its epoch-63 estimate ([0.42, 7.69], taken
+        # from a fleet spread by grid-top random-phase jumps) pushed
+        # stiff coordinates past the boundary (r5_surr_grid_exact.json).
+        # Pass "precond" to reproduce the r4-style preconditioned runs.
         eps_arg = float(sys.argv[2]) if len(sys.argv) > 2 else None
         windows = int(sys.argv[3]) if len(sys.argv) > 3 else 1
-        bench_surrogate_quality(precondition=True, windows=windows,
+        precond = len(sys.argv) > 4 and sys.argv[4] == "precond"
+        bench_surrogate_quality(precondition=precond,
+                                windows=windows,
                                 numerics="exact",
                                 eps_max_override=eps_arg)
     if which == "surrogate_uturn_exact":
         # governed dynamic-trajectory run under full numerics with the
         # U-turn guard sized for the governor (VERDICT round-4 #5).
         # optional args: leapfrog_max (default 256), probe schedule,
-        # RM step_size_start seed (default 5e-7)
+        # RM step_size_start seed (default 5e-7), metric mode. Default
+        # is the identity metric ("noprecond"): attempt 1's estimate was
+        # near-flat anyway ([0.603, 1.47]), and a seeded run spreads the
+        # fleet fast enough by epoch 60 to hit the corrupted-estimate
+        # hazard measured on the grid path (r5_surr_grid_exact.json).
+        # Pass "precond" to restore the diag-metric estimate.
         lmax = int(sys.argv[2]) if len(sys.argv) > 2 else 256
         probe = sys.argv[3] if len(sys.argv) > 3 else "alternate"
         eps0 = float(sys.argv[4]) if len(sys.argv) > 4 else None
-        bench_surrogate_quality(precondition=True, uturn=True,
+        precond = len(sys.argv) > 5 and sys.argv[5] == "precond"
+        n_epochs = int(sys.argv[6]) if len(sys.argv) > 6 else None
+        bench_surrogate_quality(precondition=precond, uturn=True,
                                 uturn_probe=probe, numerics="exact",
                                 leapfrog_max_override=lmax,
-                                uturn_step_start=eps0)
+                                uturn_step_start=eps0,
+                                epochs_override=n_epochs)
     if which == "surrogate_quality_uturn":
         precond = len(sys.argv) > 2 and sys.argv[2] == "precond"
         windows = int(sys.argv[3]) if len(sys.argv) > 3 else 1

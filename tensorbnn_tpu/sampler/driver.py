@@ -50,6 +50,15 @@ from tensorbnn_tpu.sampler.adapter import ParamAdapter
 from tensorbnn_tpu.sampler.potential import flatten_state, \
     host_batch_unraveler, host_unraveler
 
+# Deferred sample rows accumulate on device up to this many bytes before
+# being handed to the background drain worker as one batched device_get
+# (bounds device-side retention so deferral cannot OOM a long run; the
+# 32MB batch amortizes the tunnel's per-transfer setup at its measured
+# 21-36MB/s large-transfer rate — benchmarks/tunnel_probe.py). Module
+# constant so tests can force tiny batches and exercise multi-submit
+# FIFO ordering (tests/test_deferred_drain.py).
+_DRAIN_SUBMIT_BYTES = 32 << 20
+
 
 def exact_numerics_model(model: Sequential) -> Sequential:
     """The ``numerics="exact"`` preset's model half: every dense layer
@@ -938,7 +947,7 @@ def sample_posterior(model: Sequential, likelihood: Likelihood,
     pending_theta: List = []   # device (k, C, D) slices, epoch-ordered
     pending_eta: List = []
     pending_bytes = 0
-    pending_submit_bytes = 32 << 20
+    pending_submit_bytes = _DRAIN_SUBMIT_BYTES
     drain_pool = None          # lazy single-thread executor (FIFO order)
     drain_futures: List = []
 
